@@ -1,0 +1,197 @@
+"""Interior-point solver: analytic optima, SLSQP golden files, batching.
+
+The golden-file methodology (SURVEY §4/§7): the reference's effective solver
+tolerance is acceptable_tol=1e-4 (ipopt.py:185); we require our controls to
+match a scipy-SLSQP solve of the *same transcription* to 1e-4-level agreement
+on Lotka-Volterra.  cyipopt is not available in this environment, so SLSQP
+(the reference's second backend, optimizer/slsqp.py) provides the golden.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import Bounds, minimize
+
+import pyneuralempc_tpu as nempc
+from pyneuralempc_tpu.core.transcription import NLP
+from pyneuralempc_tpu.solve.interior_point import IPConfig, make_solver
+
+RT0 = {"x0": None, "p": None, "tvp": None, "params": None}
+
+
+def toy_nlp(n, m, obj, cons, lb, ub):
+    return NLP(spec=None, n=n, m=m,
+               objective=lambda w, rt: obj(w),
+               constraints=lambda w, rt: cons(w),
+               lower=jnp.asarray(lb, jnp.float32),
+               upper=jnp.asarray(ub, jnp.float32),
+               pack=None, unpack=None)
+
+
+def test_box_qp():
+    """min (w0-2)² + (w1+1)² in box → clipped optimum (1, -0.5)."""
+    nlp = toy_nlp(2, 1,
+                  lambda w: (w[0] - 2.0) ** 2 + (w[1] + 1.0) ** 2,
+                  lambda w: jnp.zeros((1,)),
+                  [-0.5, -0.5], [1.0, 1.0])
+    res = jax.jit(make_solver(nlp, IPConfig(tol=1e-6)))(
+        RT0, jnp.array([0.0, 0.0]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.w), [1.0, -0.5], atol=2e-4)
+
+
+def test_equality_qp():
+    """min ‖w‖² s.t. w0+w1=1 → (0.5, 0.5), one Newton step."""
+    nlp = toy_nlp(2, 1, lambda w: jnp.sum(w ** 2),
+                  lambda w: jnp.array([w[0] + w[1] - 1.0]),
+                  [-np.inf] * 2, [np.inf] * 2)
+    res = jax.jit(make_solver(nlp, IPConfig(tol=1e-6)))(
+        RT0, jnp.array([3.0, -1.0]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.w), [0.5, 0.5], atol=1e-5)
+
+
+def test_nonconvex_equality_with_box():
+    """min −(w0+w1) s.t. w0·w1 = 0.25, 0 ≤ w ≤ 2 → (2, 0.125) or mirror."""
+    nlp = toy_nlp(2, 1, lambda w: -(w[0] + w[1]),
+                  lambda w: jnp.array([w[0] * w[1] - 0.25]),
+                  [0.0, 0.0], [2.0, 2.0])
+    res = jax.jit(make_solver(nlp, IPConfig(tol=1e-6, max_iter=100)))(
+        RT0, jnp.array([1.5, 0.3]))
+    assert bool(res.converged)
+    w = np.sort(np.asarray(res.w))
+    np.testing.assert_allclose(w, [0.125, 2.0], atol=1e-3)
+
+
+def test_infeasible_problem_reports_failure():
+    """w ≥ 1 (box) with w = -1 (equality) is infeasible: must not claim
+    convergence (per-problem failure masks, SURVEY §5.3)."""
+    nlp = toy_nlp(1, 1, lambda w: jnp.sum(w ** 2),
+                  lambda w: jnp.array([w[0] + 1.0]),
+                  [1.0], [np.inf])
+    res = jax.jit(make_solver(nlp, IPConfig(max_iter=30)))(
+        RT0, jnp.array([2.0]))
+    assert not bool(res.converged)
+
+
+# ---- Lotka-Volterra end-to-end vs SLSQP golden ----
+
+def lv_f(x, u):
+    return jnp.concatenate(
+        [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+         -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+
+def slsqp_golden(nlp, rt, w0):
+    """Solve the same transcription with scipy SLSQP in float64."""
+    obj = jax.jit(lambda w: nlp.objective(w, rt))
+    gobj = jax.jit(jax.grad(lambda w: nlp.objective(w, rt)))
+    con = jax.jit(lambda w: nlp.constraints(w, rt))
+    jcon = jax.jit(jax.jacrev(lambda w: nlp.constraints(w, rt)))
+    as32 = lambda w: jnp.asarray(w, jnp.float32)
+    r = minimize(
+        lambda w: float(obj(as32(w))), np.asarray(w0, np.float64),
+        method="SLSQP",
+        jac=lambda w: np.asarray(gobj(as32(w)), np.float64),
+        bounds=Bounds(np.asarray(nlp.lower, np.float64),
+                      np.asarray(nlp.upper, np.float64)),
+        constraints=[{
+            "type": "eq",
+            "fun": lambda w: np.asarray(con(as32(w)), np.float64),
+            "jac": lambda w: np.asarray(jcon(as32(w)), np.float64)}],
+        options={"maxiter": 500, "ftol": 1e-10})
+    assert r.success, f"SLSQP golden failed: {r.message}"
+    return r.x
+
+
+@pytest.fixture(scope="module")
+def lv_mpc():
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(
+        states_constraint=[[-np.inf, 2.0], [-np.inf, np.inf]],
+        control_constraint=[[-1.0, 1.0]])
+    return nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                      config=IPConfig(max_iter=80, tol=1e-6))
+
+
+def test_lv_matches_slsqp_golden(lv_mpc):
+    x0 = jnp.array([0.3, 0.2])
+    res = lv_mpc.next(x0)
+    lv_mpc.reset()
+    assert bool(res.converged)
+    golden = slsqp_golden(lv_mpc.nlp, nempc.runtime(x0),
+                          lv_mpc.cold_start(x0).w)
+    H = lv_mpc.H
+    u_gold = golden[2 * H: 3 * H]
+    np.testing.assert_allclose(np.asarray(res.u).ravel(), u_gold, atol=1e-4)
+    x_gold = golden[: 2 * H].reshape(H, 2)
+    np.testing.assert_allclose(np.asarray(res.x), x_gold, atol=1e-3)
+
+
+def test_lv_state_constraint_active(lv_mpc):
+    """Economic cost favouring large u, with a state bound on x₂ (which u
+    drives directly): the bound becomes active and must be honoured."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: -jnp.sum(u)          # maximise u -> pushes x₂ up
+    box = nempc.DomainConstraint(
+        states_constraint=[[-np.inf, np.inf], [-np.inf, 0.30]],
+        control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                     config=IPConfig(max_iter=100, tol=1e-5))
+    x0 = jnp.array([0.3, 0.2])
+    res = mpc.next(x0)
+    assert bool(res.converged)
+    assert float(jnp.max(res.x[:, 1])) <= 0.30 + 1e-4
+    # the bound must actually be active (otherwise the test is vacuous)
+    assert float(jnp.max(res.x[:, 1])) >= 0.30 - 1e-2
+    golden = slsqp_golden(mpc.nlp, nempc.runtime(x0), mpc.cold_start(x0).w)
+    u_gold = golden[2 * mpc.H: 3 * mpc.H]
+    np.testing.assert_allclose(np.asarray(res.u).ravel(), u_gold, atol=2e-4)
+
+
+def test_batched_solve_matches_sequential(lv_mpc):
+    """vmap-batched solves must agree with one-at-a-time solves."""
+    x0s = jnp.array([[0.3, 0.2], [0.1, -0.1], [0.25, 0.4], [0.05, 0.3]])
+    _, batch = lv_mpc.next_batch(x0s)
+    assert bool(jnp.all(batch.converged))
+    for i, x0 in enumerate(x0s):
+        lv_mpc.reset()
+        single = lv_mpc.next(x0)
+        np.testing.assert_allclose(np.asarray(batch.u[i]),
+                                   np.asarray(single.u), atol=2e-4)
+    lv_mpc.reset()
+
+
+def test_path_constraint_honoured():
+    """Nonlinear path constraint x₀·x₁ ≥ -0.05 via slack lifting."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(
+        states_constraint=[[-np.inf, 2.0], [-np.inf, np.inf]],
+        control_constraint=[[-1.0, 1.0]])
+    H = 8
+    pc = nempc.inequality_constraint(
+        lambda x, u: (x[:, 0] * x[:, 1] + 0.05), H)
+    mpc = nempc.NMPC(model, cost, [box, pc], H=H, DT=0.1, integrator="rk4",
+                     config=IPConfig(max_iter=100, tol=1e-6))
+    res = mpc.next(jnp.array([0.3, 0.2]))
+    assert bool(res.converged)
+    prod = np.asarray(res.x[:, 0] * res.x[:, 1])
+    assert prod.min() >= -0.05 - 1e-4
+
+
+def test_warm_start_faster():
+    """Receding-horizon warm start should converge in fewer iterations."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(
+        states_constraint=[[-np.inf, 2.0], [-np.inf, np.inf]],
+        control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                     config=IPConfig(max_iter=80, tol=1e-6))
+    r1 = mpc.next(jnp.array([0.3, 0.2]))
+    r2 = mpc.next(jnp.array([0.31, 0.21]))   # nearby state, warm carry
+    assert bool(r2.converged)
+    assert int(r2.iterations) <= int(r1.iterations)
