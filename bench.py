@@ -1,0 +1,122 @@
+"""Benchmark: batched MPC solve throughput on one chip.
+
+Workload = BASELINE.json config 2: Lotka-Volterra with a 2x32-hidden MLP
+surrogate, RK4 integrator, box constraints on state and input, H=20.
+Metric = MPC solves/s/chip in steady-state receding-horizon operation
+(warm-started batched re-solves, plant advanced by the ground-truth ODE
+between plans) — the serving load of an MPC fleet.  Target (north star):
+>= 1000 solves/s/chip; ``vs_baseline`` = value / 1000.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+
+Env knobs: BENCH_BATCH (default 1024), BENCH_STEPS (timed re-plan steps,
+default 8), BENCH_CPU=1 to force the CPU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pyneuralempc_tpu as nempc
+    from pyneuralempc_tpu.models.mlp import MLPDynamics
+    from pyneuralempc_tpu.models.train import fit_surrogate, sample_transitions
+    from pyneuralempc_tpu.ops.integrators import step_fn
+
+    B = int(os.environ.get("BENCH_BATCH", 1024))
+    STEPS = int(os.environ.get("BENCH_STEPS", 8))
+    H, DT = 20, 0.1
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"B={B} H={H} steps={STEPS}")
+
+    # Normalized controlled Lotka-Volterra (see examples/lotka_volterra.py).
+    def f_true(x, u):
+        xr = 30.0 * (x + 1.0)
+        ur = 50.0 * u
+        d1 = 0.5 * xr[:, :1] - 0.025 * xr[:, :1] * xr[:, 1:]
+        d2 = -0.5 * xr[:, 1:] + ur + 0.005 * xr[:, :1] * xr[:, 1:]
+        return jnp.concatenate([d1, d2], axis=1) / 30.0
+
+    # 2x32 MLP surrogate (BASELINE config 2), trained on-device.
+    t0 = time.perf_counter()
+    surrogate = MLPDynamics.make(x_dim=2, u_dim=1, hidden=[32, 32])
+    X, U, Y = sample_transitions(f_true, jax.random.PRNGKey(0), 8192, 2, 1,
+                                 x_range=(-1.0, 1.2), u_range=(0.0, 1.2))
+    params, mse = fit_surrogate(surrogate, X, U, Y, steps=3000, lr=2e-3,
+                                batch=1024)
+    log(f"surrogate mse={mse:.2e} ({time.perf_counter()-t0:.1f}s)")
+
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(
+        states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
+        control_constraint=[[0.0, 1.2]])
+    mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4")
+
+    # batch of initial states across the healthy operating region
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.stack([
+        rng.uniform(0.2, 0.8, B),       # prey 36..54 raw
+        rng.uniform(-0.9, -0.3, B),     # predator 3..21 raw
+    ], axis=1), jnp.float32)
+
+    phi_true = jax.jit(jax.vmap(
+        lambda x, u: step_fn(nempc.jax_dynamics(f_true, 2, 1), "rk4", DT)(
+            x[None], u[None])[0]))
+
+    # cold solve (includes compile)
+    t0 = time.perf_counter()
+    carry, res = mpc.next_batch(x0s, params=params)
+    jax.block_until_ready(carry.w)
+    log(f"cold batched solve + compile: {time.perf_counter()-t0:.1f}s  "
+        f"converged {int(res.converged.sum())}/{B}")
+
+    # steady state: advance plant one step, re-plan warm (this is the loop
+    # a deployed fleet runs; first timed call includes the warm-carry
+    # compile, so do one untimed warm step first)
+    xs = phi_true(x0s, res.u[:, 0])
+    carry, res = mpc.next_batch(xs, params=params, carry=carry)
+    jax.block_until_ready(carry.w)
+
+    times = []
+    conv = []
+    for t in range(STEPS):
+        xs = phi_true(xs, res.u[:, 0])
+        jax.block_until_ready(xs)
+        t0 = time.perf_counter()
+        carry, res = mpc.next_batch(xs, params=params, carry=carry)
+        jax.block_until_ready(carry.w)
+        times.append(time.perf_counter() - t0)
+        conv.append(int(res.converged.sum()))
+
+    times = np.asarray(times)
+    p50 = float(np.median(times))
+    solves_per_s = B / p50
+    log(f"warm step p50={p50*1e3:.1f}ms  min={times.min()*1e3:.1f}ms  "
+        f"converged per step: {conv}")
+    log(f"iterations (last step): max "
+        f"{int(jnp.max(res.iterations))} mean "
+        f"{float(jnp.mean(res.iterations)):.1f}")
+
+    print(json.dumps({
+        "metric": "lv_h20_mlp_rk4_warm_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

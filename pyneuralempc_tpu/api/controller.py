@@ -45,10 +45,15 @@ class NMPCResult(NamedTuple):
 
 class WarmStart(NamedTuple):
     """Functional warm-start carry (the reference's mutable
-    ``optimizer.prev_result``, made explicit)."""
+    ``optimizer.prev_result``, made explicit) — primal plan plus the
+    interior-point duals and barrier parameter, so receding-horizon
+    re-solves resume instead of restarting."""
     w: Any
     lam: Any
-    valid: Any        # bool: False -> cold start
+    zl: Any
+    zu: Any
+    mu: Any
+    valid: Any        # bool: diagnostics (last solve converged)
 
 
 def _split_constraints(constraints):
@@ -129,24 +134,31 @@ class NMPC:
             X = jnp.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
         w = self.nlp.pack(X, U)
         return WarmStart(w=w, lam=jnp.zeros((self.nlp.m,), w.dtype),
+                         zl=None, zu=None,
+                         mu=jnp.asarray(self.config.mu_init, w.dtype),
                          valid=jnp.asarray(True))
 
     def shift(self, carry: WarmStart) -> WarmStart:
         """Receding-horizon shift: move the plan one step left, duplicate
-        the last stage (``ipopt.py:141-147``)."""
+        the last stage (``ipopt.py:141-147``).  Duals and μ are carried
+        as-is (still excellent initialisers one step later); μ is floored
+        so a fully-converged barrier can re-open for the new problem."""
         X, U, s = self.nlp.unpack(carry.w)
         X = jnp.concatenate([X[1:], X[-1:]], axis=0)
         U = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        mu = jnp.maximum(carry.mu, self.config.warm_mu)
         return WarmStart(w=self.nlp.pack(X, U, s), lam=carry.lam,
-                         valid=carry.valid)
+                         zl=carry.zl, zu=carry.zu, mu=mu, valid=carry.valid)
 
     def _step(self, carry: WarmStart, rt) -> Tuple[WarmStart, NMPCResult]:
-        res: IPResult = self._solve(rt, carry.w, carry.lam)
+        res: IPResult = self._solve(rt, carry.w, carry.lam, carry.zl,
+                                    carry.zu, carry.mu)
         X, U, s = self.nlp.unpack(res.w)
         out = NMPCResult(x=X, u=U, converged=res.converged,
                          iterations=res.iterations, kkt_error=res.kkt_error,
                          objective=res.objective, slack=s)
-        new_carry = WarmStart(w=res.w, lam=res.lam, valid=res.converged)
+        new_carry = WarmStart(w=res.w, lam=res.lam, zl=res.zl, zu=res.zu,
+                              mu=res.mu, valid=res.converged)
         return new_carry, out
 
     def step(self, carry: WarmStart, x0, p=None, tvp=None,

@@ -1,0 +1,94 @@
+"""Scenario sharding across a TPU mesh.
+
+The reference has no distribution story whatsoever (SURVEY §2: "parallelism
+components: NONE"); this module supplies the TPU-native one mandated by
+BASELINE.json: thousands of concurrent MPC problems laid out along a
+``scenario`` mesh axis, partitioned by GSPMD.  Because the batched solver is
+a pure vmapped program with no cross-problem coupling, data-parallel scaling
+is achieved by *sharding annotations alone* — XLA partitions the whole
+interior-point iteration (autodiff, batched LU, line search) with zero
+communication on the hot path; collectives only appear in user-level
+reductions (e.g. fleet-wide cost telemetry via ``psum``).
+
+Mesh axes convention:
+  - ``scenario``: data-parallel axis over MPC problems (ICI + DCN friendly —
+    no collectives in the solve).
+  - a future ``horizon`` axis partitions long horizons across devices
+    (multiple-shooting segment sharding; SURVEY §5.7's "sequence
+    parallelism" analog).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "scenario") -> Mesh:
+    """1-D device mesh over the scenario axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_leading(tree: Any, mesh: Mesh, axis_name: str = "scenario") -> Any:
+    """Place every array leaf with its leading (batch) axis sharded over the
+    mesh; scalars/None pass through replicated."""
+
+    def place(x):
+        if x is None:
+            return None
+        x = jax.numpy.asarray(x)
+        spec = P(axis_name, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    def place(x):
+        if x is None:
+            return None
+        return jax.device_put(jax.numpy.asarray(x),
+                              NamedSharding(mesh, P()))
+    return jax.tree_util.tree_map(place, tree)
+
+
+class ShardedNMPC:
+    """Scenario-sharded batched MPC stepping over a device mesh.
+
+    Wraps an :class:`~pyneuralempc_tpu.api.controller.NMPC`: same
+    ``next_batch`` semantics, but the batch axis is partitioned over
+    ``mesh`` so B problems run B/n_devices-per-chip.  Model parameters and
+    shared p/tvp stay replicated.
+
+    Usage::
+
+        mesh = make_mesh()                      # all chips
+        smpc = ShardedNMPC(mpc, mesh)
+        carry, res = smpc.next_batch(x0s)       # x0s: (B, x_dim), B % n == 0
+    """
+
+    def __init__(self, mpc, mesh: Mesh, axis_name: str = "scenario"):
+        self.mpc = mpc
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def next_batch(self, x0s, p=None, tvp=None, params=None, carry=None):
+        n = self.mesh.devices.size
+        B = np.asarray(x0s).shape[0]
+        if B % n != 0:
+            raise ValueError(f"batch {B} not divisible by mesh size {n}")
+        x0s = shard_leading(x0s, self.mesh, self.axis_name)
+        if carry is not None:
+            carry = shard_leading(carry, self.mesh, self.axis_name)
+        p = None if p is None else replicate(p, self.mesh)
+        tvp = None if tvp is None else replicate(tvp, self.mesh)
+        params = None if params is None else replicate(params, self.mesh)
+        return self.mpc.next_batch(x0s, p=p, tvp=tvp, params=params,
+                                   carry=carry)

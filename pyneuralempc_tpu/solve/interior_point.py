@@ -67,6 +67,7 @@ class IPConfig:
     max_iter: int = 60
     tol: float = 1e-4              # = the reference's acceptable_tol
     mu_init: float = 1e-1
+    warm_mu: float = 1e-3          # μ floor when resuming from a warm carry
     kappa_mu: float = 0.2          # linear μ decrease factor
     theta_mu: float = 1.5          # superlinear μ decrease exponent
     kappa_eps: float = 10.0        # μ-phase exit: E_μ <= kappa_eps · μ
@@ -112,6 +113,7 @@ class IPResult(NamedTuple):
     lam: Any
     zl: Any
     zu: Any
+    mu: Any
     converged: Any
     iterations: Any
     kkt_error: Any
@@ -185,7 +187,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
                 jnp.maximum(jnp.max(jnp.abs(comp_l)), jnp.max(jnp.abs(comp_u))) / s_c,
             ))
 
-    def init_state(rt, w0, lam0):
+    def init_state(rt, w0, lam0, zl0, zu0, mu0):
         # Interior push (Ipopt κ₁ rule): keep w0 strictly inside its box.
         pl = jnp.where(has_lb, lb + cfg.bound_push * jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
         pu = jnp.where(has_ub, ub - cfg.bound_push * jnp.maximum(1.0, jnp.abs(ub)), jnp.inf)
@@ -197,11 +199,17 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         hi = jnp.where(both, jnp.maximum(pu, mid), pu)
         w = jnp.clip(w0.astype(dtype), lo, hi)
         sl, su = slacks(w)
-        mu0 = jnp.asarray(cfg.mu_init, dtype)
-        zl = jnp.where(has_lb, jnp.clip(mu0 / sl, 1e-6, 1e6), 0.0)
-        zu = jnp.where(has_ub, jnp.clip(mu0 / su, 1e-6, 1e6), 0.0)
+        mu = (jnp.asarray(cfg.mu_init, dtype) if mu0 is None
+              else jnp.clip(jnp.asarray(mu0, dtype), cfg.tol / 10.0,
+                            cfg.mu_init))
+        zl = (jnp.where(has_lb, jnp.clip(mu / sl, 1e-6, 1e6), 0.0)
+              if zl0 is None else
+              jnp.where(has_lb, jnp.clip(zl0.astype(dtype), 1e-8, 1e8), 0.0))
+        zu = (jnp.where(has_ub, jnp.clip(mu / su, 1e-6, 1e6), 0.0)
+              if zu0 is None else
+              jnp.where(has_ub, jnp.clip(zu0.astype(dtype), 1e-8, 1e8), 0.0))
         lam = jnp.zeros((m,), dtype) if lam0 is None else lam0.astype(dtype)
-        return IPState(w=w, lam=lam, zl=zl, zu=zu, mu=mu0,
+        return IPState(w=w, lam=lam, zl=zl, zu=zu, mu=mu,
                        nu=jnp.asarray(cfg.nu_init, dtype),
                        it=jnp.asarray(0, jnp.int32),
                        done=jnp.asarray(False),
@@ -402,8 +410,11 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         return IPState(*[jnp.where(keep, f, nn)
                          for f, nn in zip(frozen, new)])
 
-    def solve(rt, w0, lam0=None) -> IPResult:
-        state = init_state(rt, w0, lam0)
+    def solve(rt, w0, lam0=None, zl0=None, zu0=None, mu0=None) -> IPResult:
+        """Solve one NLP.  ``lam0/zl0/zu0/mu0`` warm-start the duals and
+        barrier parameter (receding-horizon reuse — SURVEY §5.4: the warm
+        buffer is explicit solver state, not hidden mutable state)."""
+        state = init_state(rt, w0, lam0, zl0, zu0, mu0)
 
         def cond(s):
             return (~s.done) & (s.it < cfg.max_iter)
@@ -416,7 +427,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         err = kkt_error(state.w, state.lam, state.zl, state.zu, g, A, c, 0.0)
         converged = state.converged | (err <= cfg.tol)
         return IPResult(w=state.w, lam=state.lam, zl=state.zl, zu=state.zu,
-                        converged=converged, iterations=state.it,
+                        mu=state.mu, converged=converged,
+                        iterations=state.it,
                         kkt_error=jnp.minimum(err, state.kkt_error),
                         objective=nlp.objective(state.w, rt))
 
