@@ -59,11 +59,12 @@ def main():
                                 batch=1024)
     log(f"surrogate mse={mse:.2e} ({time.perf_counter()-t0:.1f}s)")
 
-    cost = lambda x, u: jnp.sum(u * 1.1)
+    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
     box = nempc.DomainConstraint(
         states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
         control_constraint=[[0.0, 1.2]])
     mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4")
+    log(f"kkt backend: {mpc.kkt_backend}")
 
     # batch of initial states across the healthy operating region
     rng = np.random.default_rng(0)

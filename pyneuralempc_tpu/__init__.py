@@ -28,7 +28,7 @@ Quick start::
     res.u  # planned controls, (H, 1)
 """
 
-from .core.problem import (Box, Dims, MPCSpec, PathConstraint,
+from .core.problem import (Box, Dims, MPCSpec, PathConstraint, StageCost,
                            equality_constraint, inequality_constraint,
                            interval_constraint, runtime)
 from .core.transcription import NLP, transcribe
@@ -45,7 +45,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Box", "Dims", "MPCSpec", "PathConstraint", "DomainConstraint",
     "equality_constraint", "inequality_constraint", "interval_constraint",
-    "runtime", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
+    "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "IPConfig", "IPResult",
     "make_solver", "NMPC", "NMPCResult", "WarmStart",
 ]

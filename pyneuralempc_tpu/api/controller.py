@@ -95,7 +95,16 @@ class NMPC:
                             path_constraints=path, H=H, DT=DT)
         self.nlp: NLP = transcribe(self.spec)
         self.config = config
-        self._solve = make_solver(self.nlp, config)
+        from ..solve import riccati
+        if config.kkt == "riccati" or (config.kkt == "auto"
+                                       and riccati.eligible(self.nlp)):
+            direction = riccati.make_riccati_direction
+        elif config.kkt in ("auto", "dense"):
+            direction = None
+        else:
+            raise ValueError(f"unknown kkt backend {config.kkt!r}")
+        self.kkt_backend = "riccati" if direction else "dense"
+        self._solve = make_solver(self.nlp, config, direction=direction)
         self.H, self.DT = H, DT
         self.model = model
 

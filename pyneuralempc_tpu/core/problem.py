@@ -181,6 +181,42 @@ def interval_constraint(fn: Callable, dim: int, lb, ub) -> PathConstraint:
 
 
 @dataclasses.dataclass(frozen=True)
+class StageCost:
+    """A stage-separable economic cost: J = Σ_t ℓ(x_{t+1}, u_t, p, tvp_t)
+    (+ optional terminal φ(x_H, p)).
+
+    Declaring stage structure is what unlocks the O(H) block-tridiagonal
+    Riccati KKT backend (:mod:`pyneuralempc_tpu.solve.riccati`) — the dense
+    backend treats the cost as an opaque scalar and pays O(H³).  Both
+    reference example costs are stage-separable (``run.py:82-89``,
+    ``test.py``'s Σ(u−2)²).
+
+    ``stage(x, u, p, tvp) -> scalar`` takes *single-stage* vectors
+    ``x: (x_dim,)``, ``u: (u_dim,)``, ``tvp: (tvp_dim,)|None``.
+    Instances are callable with full trajectories (batched-over-time
+    reference contract), so they drop into any objective slot.
+    """
+
+    stage: Callable
+    terminal: Optional[Callable] = None
+
+    def __call__(self, x, u, p=None, tvp=None):
+        import jax
+
+        def one(x_t, u_t, tvp_t):
+            from ..models.base import _call_user_fn
+            return _call_user_fn(self.stage, x_t, u_t, p, tvp_t)
+
+        tvp_axis = None if tvp is None else 0
+        total = jnp.sum(jax.vmap(one, in_axes=(0, 0, tvp_axis))(x, u, tvp))
+        if self.terminal is not None:
+            term = (self.terminal(x[-1], p) if p is not None
+                    else self.terminal(x[-1]))
+            total = total + term
+        return total
+
+
+@dataclasses.dataclass(frozen=True)
 class MPCSpec:
     """The full static problem description.
 

@@ -82,6 +82,7 @@ class IPConfig:
     nu_init: float = 1.0           # merit penalty initial value
     hessian: str = "exact"         # "exact" | "objective" | "gauss_newton"
     gn_reg: float = 1e-6           # curvature floor for non-exact modes
+    kkt: str = "auto"              # "auto" | "dense" | "riccati"
     debug: bool = False            # per-iteration jax.debug.print trace
 
     def __post_init__(self):
@@ -120,8 +121,15 @@ class IPResult(NamedTuple):
     objective: Any
 
 
-def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
-    """Build ``solve(rt, w0, lam0=None) -> IPResult`` for one problem.
+def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
+                direction=None) -> Callable:
+    """Build ``solve(rt, w0, lam0=None, zl0=None, zu0=None, mu0=None)
+    -> IPResult`` for one problem.
+
+    ``direction``: optional KKT backend factory ``(nlp, cfg) -> fn`` where
+    ``fn(w, lam, rt, Sigma, r_tilde, c) -> (dw, dlam, ok)`` (e.g. the
+    Riccati backend in :mod:`.riccati`); defaults to the dense full-space
+    LU backend.
 
     The returned function is pure and traceable: wrap it in ``jax.jit`` for
     a single solve or ``jax.vmap`` + ``jit`` for batched solves.
@@ -171,9 +179,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         t = jnp.sum(jnp.abs(c))
         return jnp.where(jnp.isfinite(t), t, _BIG)
 
-    def kkt_error(w, lam, zl, zu, g, A, c, mu):
+    def kkt_error(w, lam, zl, zu, g, ATlam, c, mu):
         sl, su = slacks(w)
-        r_d = g + A.T @ lam - zl + zu
+        r_d = g + ATlam - zl + zu
         comp_l = jnp.where(has_lb, zl * sl - mu, 0.0)
         comp_u = jnp.where(has_ub, zu * su - mu, 0.0)
         s_max = 100.0
@@ -280,19 +288,28 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         _, dw, dlam, ok = jax.lax.while_loop(cond, body, init)
         return dw, dlam, ok
 
+    def dense_direction(w, lam, rt, Sigma, r_tilde, c):
+        """Default KKT backend: dense Hessian + full-space LU."""
+        W = hess_w(w, lam, rt)
+        A = jac_cons(w, rt)
+        return kkt_step(W, Sigma, A, r_tilde, c)
+
+    direction_fn = (direction(nlp, cfg) if direction is not None
+                    else dense_direction)
+
     def iteration(state: IPState, rt) -> IPState:
         w, lam, zl, zu, mu, nu = (state.w, state.lam, state.zl, state.zu,
                                   state.mu, state.nu)
         sl, su = slacks(w)
 
         g = grad_obj(w, rt)
-        A = jac_cons(w, rt)
-        c = nlp.constraints(w, rt)
+        c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt), w)
+        ATlam = cons_vjp(lam)[0]
 
         # --- convergence + barrier update (checked before the step) ---
-        err_0 = kkt_error(w, lam, zl, zu, g, A, c, 0.0)
+        err_0 = kkt_error(w, lam, zl, zu, g, ATlam, c, 0.0)
         converged = err_0 <= cfg.tol
-        err_mu = kkt_error(w, lam, zl, zu, g, A, c, mu)
+        err_mu = kkt_error(w, lam, zl, zu, g, ATlam, c, mu)
         shrink = err_mu <= cfg.kappa_eps * mu
         mu_next = jnp.where(
             shrink,
@@ -304,11 +321,10 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         # --- Newton direction on the condensed KKT system ---
         Sigma = (jnp.where(has_lb, zl / sl, 0.0)
                  + jnp.where(has_ub, zu / su, 0.0))
-        W = hess_w(w, lam, rt)
-        r_tilde = (g + A.T @ lam
+        r_tilde = (g + ATlam
                    - jnp.where(has_lb, mu / sl, 0.0)
                    + jnp.where(has_ub, mu / su, 0.0))
-        dw, dlam, ok = kkt_step(W, Sigma, A, r_tilde, c)
+        dw, dlam, ok = direction_fn(w, lam, rt, Sigma, r_tilde, c)
         # Fallback when even max regularisation fails: scaled steepest
         # descent on the barrier merit, so the iterate keeps moving instead
         # of stalling forever (the reference's analog is SLSQP's
@@ -414,17 +430,25 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig()) -> Callable:
         """Solve one NLP.  ``lam0/zl0/zu0/mu0`` warm-start the duals and
         barrier parameter (receding-horizon reuse — SURVEY §5.4: the warm
         buffer is explicit solver state, not hidden mutable state)."""
-        state = init_state(rt, w0, lam0, zl0, zu0, mu0)
+        # TPU MXU defaults to bf16 matmul passes, which destroys the KKT
+        # solve (observed: 56 vs 4 IP iterations).  Force full-f32 precision
+        # for everything inside the solver; models that want bf16 compute
+        # opt in explicitly via their own preferred_element_type.
+        with jax.default_matmul_precision("float32"):
+            state = init_state(rt, w0, lam0, zl0, zu0, mu0)
 
-        def cond(s):
-            return (~s.done) & (s.it < cfg.max_iter)
+            def cond(s):
+                return (~s.done) & (s.it < cfg.max_iter)
 
-        state = jax.lax.while_loop(cond, lambda s: iteration(s, rt), state)
-        # Final convergence check (the loop checks at iteration entry).
-        g = grad_obj(state.w, rt)
-        A = jac_cons(state.w, rt)
-        c = nlp.constraints(state.w, rt)
-        err = kkt_error(state.w, state.lam, state.zl, state.zu, g, A, c, 0.0)
+            state = jax.lax.while_loop(cond, lambda s: iteration(s, rt),
+                                       state)
+            # Final convergence check (the loop checks at iteration entry).
+            g = grad_obj(state.w, rt)
+            c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt),
+                                  state.w)
+            ATlam = cons_vjp(state.lam)[0]
+            err = kkt_error(state.w, state.lam, state.zl, state.zu, g,
+                            ATlam, c, 0.0)
         converged = state.converged | (err <= cfg.tol)
         return IPResult(w=state.w, lam=state.lam, zl=state.zl, zu=state.zu,
                         mu=state.mu, converged=converged,

@@ -1,0 +1,205 @@
+"""Structured KKT backend: block-tridiagonal Riccati recursion.
+
+The multiple-shooting KKT system is block-tridiagonal — stage t couples only
+(x_t, u_t, x_{t+1}) — a structure the reference throws away by assembling
+dense (H·nx)×(H·(nx+nu)) matrices (``rk4.py:120``, SURVEY §5.7).  This
+backend factorises the interior-point Newton system by a backward dynamic-
+programming (Riccati) sweep in O(H · stage³) instead of the dense backend's
+O((H·stage)³) LU, with per-stage derivative blocks obtained by ``vmap``'d
+autodiff (never a dense NLP matrix).
+
+Eligible problems: stage-separable cost (:class:`~pyneuralempc_tpu.core.
+problem.StageCost`) and box-only constraints (no general path constraints
+yet — those stay on the dense backend).
+
+Derivation.  The condensed IP Newton step solves
+
+    min_Δw  ½ Δwᵀ(W+Σ+δI)Δw + r̃ᵀΔw   s.t.  A_t Δx_t + B_t Δu_t − Δx_{t+1} = −c_t
+
+with W = ∇²(J + λᵀC).  Per stage t (0-based; x_{t+1} is the decision state,
+x_0 is the fixed parameter):
+
+  * M_t  = ∇²ℓ_t over (x_{t+1}, u_t)  + diag(Σ, δ) on those variables;
+  * G_t  = ∇²_{(x_t, u_t)} λ_tᵀΦ_t     (defect curvature; inputs of Φ);
+  * m_t  = r̃ sliced to (x_{t+1}, u_t);
+  * A_t, B_t = ∂Φ_t/∂(x_t, u_t).
+
+Backward sweep (value function V_t(Δx_t) = ½ΔxᵀP_tΔx + p_tᵀΔx), with
+P̄ = P_{t+1} + Mxx_t and p̄ = p_{t+1} + mx_t:
+
+    Qxx = AᵀP̄A + Gxx
+    Quu = BᵀP̄B + Muu + sym(BᵀMxu) + Guu + δ_u I
+    Qux = BᵀP̄A + MxuᵀA + Gux
+    qx  = Aᵀ(P̄c + p̄)
+    qu  = Bᵀ(P̄c + p̄) + Mxuᵀc + mu_t
+
+    K = −Quu⁻¹Qux,  k = −Quu⁻¹qu          (Cholesky; δ retry if not PD)
+    P_t = Qxx + QuxᵀK,   p_t = qx + Quxᵀk
+
+Forward sweep: Δx_0 = 0; Δu_t = KΔx_t + k; Δx_{t+1} = AΔx_t + BΔu_t + c_t;
+defect multiplier step Δλ_t = P̄Δx_{t+1} + Mxu Δu_t + p̄ (the co-state).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import StageCost
+from ..core.transcription import NLP
+from ..models.base import _call_user_fn
+from ..ops.integrators import step_fn
+from ..ops.rollout import shift_states
+
+_DELTAS = (0.0, 1e-6, 1e-4, 1e-2, 1.0, 1e2)
+
+
+def eligible(nlp: NLP) -> bool:
+    spec = nlp.spec
+    return (spec is not None
+            and isinstance(spec.objective, StageCost)
+            and len(spec.path_constraints) == 0)
+
+
+def make_riccati_direction(nlp: NLP, cfg) -> Callable:
+    """KKT backend factory for :func:`..interior_point.make_solver`."""
+    if not eligible(nlp):
+        raise ValueError(
+            "Riccati KKT backend needs a StageCost objective and no general "
+            "path constraints (box bounds only); use the dense backend.")
+    spec = nlp.spec
+    H, nx, nu = spec.H, spec.dims.x, spec.dims.u
+    phi = step_fn(spec.model, spec.integrator, spec.DT)
+    stage_cost = spec.objective
+
+    def phi1(x, u, p, tvp_t, params):
+        """Single-stage step: (nx,), (nu,) -> (nx,)."""
+        tvp_b = None if tvp_t is None else tvp_t[None, :]
+        return phi(x[None, :], u[None, :], p, tvp_b, params)[0]
+
+    def stage_blocks(w, lam, rt):
+        X, U, _ = nlp.unpack(w)
+        xprev = shift_states(rt["x0"], X)
+        lam_t = lam.reshape(H, nx)
+        tvp = rt["tvp"]
+        p, params = rt["p"], rt.get("params")
+
+        def per_stage(x_t, u_t, lam_row, tvp_t):
+            f = lambda xu: phi1(xu[:nx], xu[nx:], p, tvp_t, params)
+            xu = jnp.concatenate([x_t, u_t])
+            J = jax.jacfwd(f)(xu)                      # (nx, nx+nu)
+            G = jax.hessian(lambda z: lam_row @ f(z))(xu)
+            return J[:, :nx], J[:, nx:], G             # A_t, B_t, G_t
+
+        tvp_ax = None if tvp is None else 0
+        A, B, G = jax.vmap(per_stage, in_axes=(0, 0, 0, tvp_ax))(
+            xprev, U, lam_t, tvp)
+
+        def cost_stage(x_n, u_t, tvp_t):
+            return _call_user_fn(stage_cost.stage, x_n, u_t, p, tvp_t)
+
+        def cost_blocks(x_n, u_t, tvp_t):
+            f = lambda z: cost_stage(z[:nx], z[nx:], tvp_t)
+            z = jnp.concatenate([x_n, u_t])
+            return jax.hessian(f)(z)                   # over (x_{t+1}, u_t)
+
+        M = jax.vmap(cost_blocks, in_axes=(0, 0, tvp_ax))(X, U, tvp)
+        if stage_cost.terminal is not None:
+            term_h = jax.hessian(
+                lambda xH: (stage_cost.terminal(xH, p) if p is not None
+                            else stage_cost.terminal(xH)))(X[-1])
+            M = M.at[-1, :nx, :nx].add(term_h)
+        return A, B, G, M
+
+    def direction(w, lam, rt, Sigma, r_tilde, c_full):
+        A, B, G, M = stage_blocks(w, lam, rt)
+        c = c_full.reshape(H, nx)
+
+        # slice Σ (+δ handled in retry) and r̃ into stage layout
+        Sig_x = Sigma[: H * nx].reshape(H, nx)
+        Sig_u = Sigma[H * nx: H * (nx + nu)].reshape(H, nu)
+        m_x = r_tilde[: H * nx].reshape(H, nx)
+        m_u = r_tilde[H * nx: H * (nx + nu)].reshape(H, nu)
+
+        # fold Σ into the stage cost Hessian diagonal
+        ix = jnp.arange(nx)
+        iu = jnp.arange(nu)
+        M = M.at[:, ix, ix].add(jnp.clip(jnp.nan_to_num(Sig_x, posinf=1e10),
+                                         0.0, 1e10))
+        M = M.at[:, nx + iu, nx + iu].add(
+            jnp.clip(jnp.nan_to_num(Sig_u, posinf=1e10), 0.0, 1e10))
+        G = jnp.nan_to_num(G, posinf=1e10, neginf=-1e10)
+        M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
+
+        def sweep(delta):
+            Md = M.at[:, ix, ix].add(delta)
+            Md = Md.at[:, nx + iu, nx + iu].add(delta)
+
+            def backward(carry, blocks):
+                P, p_vec, okc = carry
+                A_t, B_t, G_t, M_t, mx_t, mu_t, c_t = blocks
+                Mxx = M_t[:nx, :nx]
+                Mxu = M_t[:nx, nx:]
+                Muu = M_t[nx:, nx:]
+                Pbar = P + Mxx
+                pbar = p_vec + mx_t
+                PA = Pbar @ A_t
+                PB = Pbar @ B_t
+                Qxx = A_t.T @ PA + G_t[:nx, :nx]
+                BtMxu = B_t.T @ Mxu
+                Quu = (B_t.T @ PB + Muu + BtMxu + BtMxu.T
+                       + G_t[nx:, nx:])
+                Qux = B_t.T @ PA + Mxu.T @ A_t + G_t[nx:, :nx]
+                Pc_p = Pbar @ c_t + pbar
+                qx = A_t.T @ Pc_p
+                qu = B_t.T @ Pc_p + Mxu.T @ c_t + mu_t
+
+                L = jnp.linalg.cholesky(Quu)
+                K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+                k = -jax.scipy.linalg.cho_solve((L, True), qu)
+                okc = okc & jnp.all(jnp.isfinite(L))
+                P_new = Qxx + Qux.T @ K
+                P_new = 0.5 * (P_new + P_new.T)
+                p_new = qx + Qux.T @ k
+                return (P_new, p_new, okc), (K, k, Pbar, pbar, Mxu)
+
+            blocks = (A, B, G, Md, m_x, m_u, c)
+            init = (jnp.zeros((nx, nx), w.dtype), jnp.zeros((nx,), w.dtype),
+                    jnp.asarray(True))
+            (_, _, okc), (K, k, Pbar, pbar, Mxu) = jax.lax.scan(
+                backward, init, blocks, reverse=True)
+
+            def forward(dx, blocks):
+                A_t, B_t, c_t, K_t, k_t, Pb, pb, Mxu_t = blocks
+                du = K_t @ dx + k_t
+                dx_next = A_t @ dx + B_t @ du + c_t
+                dlam_t = Pb @ dx_next + Mxu_t @ du + pb
+                return dx_next, (dx_next, du, dlam_t)
+
+            dx0 = jnp.zeros((nx,), w.dtype)
+            _, (dX, dU, dLam) = jax.lax.scan(
+                forward, dx0, (A, B, c, K, k, Pbar, pbar, Mxu))
+            dw = nlp.pack(dX, dU)
+            dlam = dLam.reshape(-1)
+            ok = okc & jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dlam))
+            return dw, dlam, ok
+
+        def cond(carry):
+            i, _, _, ok = carry
+            return (~ok) & (i < len(_DELTAS))
+
+        deltas = jnp.asarray(_DELTAS, w.dtype)
+
+        def body(carry):
+            i, _, _, _ = carry
+            dw, dlam, ok = sweep(deltas[i])
+            return (i + 1, dw, dlam, ok)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.zeros_like(w),
+                jnp.zeros_like(lam), jnp.asarray(False))
+        _, dw, dlam, ok = jax.lax.while_loop(cond, body, init)
+        return dw, dlam, ok
+
+    return direction
