@@ -1,0 +1,131 @@
+"""Importers (Keras h5, torch) and rolling-window lifted models."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyneuralempc_tpu as nempc
+from pyneuralempc_tpu.models.importers import load_keras_h5, load_torch_mlp
+from pyneuralempc_tpu.models.rolling import rolling_mlp, rolling_window
+
+REF_H5 = "/root/reference/examples/lotka_volterra/nn_model.h5"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_H5), reason="reference h5 absent")
+def test_keras_h5_import_runs():
+    """Load the reference's own trained artifact (3->30->30->2 tanh net)."""
+    model, params = load_keras_h5(REF_H5, x_dim=2, u_dim=1)
+    assert model.hidden == (30, 30)
+    out = model(jnp.ones((4, 2)), jnp.ones((4, 1)), params=params)
+    assert out.shape == (4, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_H5), reason="reference h5 absent")
+def test_keras_h5_import_matches_manual_forward():
+    import h5py
+    model, params = load_keras_h5(REF_H5, x_dim=2, u_dim=1)
+    x = np.array([[0.3, -0.2]], np.float32)
+    u = np.array([[0.1]], np.float32)
+    feats = np.concatenate([x, u], axis=1)
+    with h5py.File(REF_H5, "r") as f:
+        w = f["model_weights"]
+        h = feats
+        for i, name in enumerate(["dense", "dense_1", "dense_2"]):
+            W = np.asarray(w[name][name]["kernel:0"])
+            b = np.asarray(w[name][name]["bias:0"])
+            h = h @ W + b
+            if i < 2:
+                h = np.tanh(h)
+    out = model(jnp.asarray(x), jnp.asarray(u), params=params)
+    np.testing.assert_allclose(np.asarray(out), h, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_H5), reason="reference h5 absent")
+def test_keras_h5_dim_validation():
+    with pytest.raises(ValueError):
+        load_keras_h5(REF_H5, x_dim=3, u_dim=1)   # 3+1 != 3 inputs
+
+
+def test_torch_import_matches_torch_forward():
+    import torch
+
+    net = torch.nn.Sequential(
+        torch.nn.Linear(3, 8), torch.nn.Tanh(),
+        torch.nn.Linear(8, 2))
+    model, params = load_torch_mlp(net.state_dict(), x_dim=2, u_dim=1,
+                                   activation="tanh")
+    x = np.random.default_rng(0).normal(size=(5, 2)).astype(np.float32)
+    u = np.random.default_rng(1).normal(size=(5, 1)).astype(np.float32)
+    with torch.no_grad():
+        expected = net(torch.from_numpy(np.concatenate([x, u], 1))).numpy()
+    out = model(jnp.asarray(x), jnp.asarray(u), params=params)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5,
+                               atol=1e-6)
+
+
+# ---- rolling window ----
+
+def test_lift_and_head():
+    rw, init = rolling_mlp(x_dim=2, u_dim=1, window=3, hidden=[4])
+    hist = jnp.arange(6.0).reshape(3, 2)      # oldest first
+    z0 = rw.lift(hist)
+    np.testing.assert_allclose(np.asarray(z0), [4, 5, 2, 3, 0, 1])
+    assert rw.head(z0[None, :]).shape == (1, 2)
+
+
+def test_lifted_shift_register():
+    """The lifted transition must shift history: z' = [new_head, z[:-nx]]."""
+    def inner(z, u, p, tvp, params):
+        return jnp.ones((z.shape[0], 2))       # head delta = 1
+
+    rw = rolling_window(inner, x_dim=2, u_dim=1, window=3)
+    z = jnp.arange(6.0)[None, :]
+    u = jnp.zeros((1, 1))
+    z_next = rw.model(z, u)
+    np.testing.assert_allclose(np.asarray(z_next[0]),
+                               [1, 2, 0, 1, 2, 3])   # head+1, shifted rest
+
+
+def test_rolling_mpc_end_to_end():
+    """An MPC whose dynamics depend on two past states: solved via the
+    lifted model with integrator='direct' (reference test.py's scenario —
+    rolling window 2, discrete integrator, cost on u)."""
+    W, nx, nu, H = 2, 1, 1, 8
+
+    # ground truth: x_{t+1} = 0.8 x_t + 0.15 x_{t-1} + 0.3 u_t
+    def inner(z, u, p, tvp, params):
+        return 0.8 * z[:, :1] + 0.15 * z[:, 1:2] + 0.3 * u - z[:, :1]
+
+    rw = rolling_window(inner, x_dim=nx, u_dim=nu, window=W, mode="delta")
+    cost = rw.head_objective(lambda x, u: jnp.sum((x - 0.5) ** 2)
+                             + 0.01 * jnp.sum(u ** 2))
+    box = rw.box(states_constraint=[[-5.0, 5.0]],
+                 control_constraint=[[-2.0, 2.0]])
+    mpc = nempc.NMPC(rw.model, cost, [box], H=H, DT=1.0,
+                     integrator="direct",
+                     config=nempc.IPConfig(max_iter=60))
+    z0 = rw.lift(jnp.array([[0.0], [0.1]]))    # x_{t-1}=0, x_t=0.1
+    res = mpc.next(z0)
+    assert bool(res.converged)
+    x_plan = np.asarray(rw.head(res.x)).ravel()
+    # the plan must settle near the 0.5 setpoint
+    assert abs(x_plan[-1] - 0.5) < 0.1
+    # and respect the lifted shift-register consistency
+    Z = np.asarray(res.x)
+    np.testing.assert_allclose(Z[1:, 1], Z[:-1, 0], atol=1e-4)
+
+
+def test_rolling_window_one_equals_plain():
+    """window=1 must collapse to an ordinary first-order model."""
+    def inner(z, u, p, tvp, params):
+        return -0.5 * z + u
+
+    rw = rolling_window(inner, x_dim=2, u_dim=2, window=1, mode="delta")
+    z = jnp.ones((3, 2))
+    u = jnp.zeros((3, 2))
+    np.testing.assert_allclose(np.asarray(rw.model(z, u)),
+                               np.asarray(z - 0.5 * z))
