@@ -34,6 +34,8 @@ from .core.problem import (Box, Dims, MPCSpec, PathConstraint, StageCost,
 from .core.transcription import NLP, transcribe
 from .models.base import DynamicsModel, jax_dynamics
 from .models.mlp import MLPDynamics, mlp_apply, mlp_init
+from .models.rolling import RollingWindow, rolling_mlp, rolling_window
+from .models.importers import load_keras_h5, load_torch_mlp
 from .solve.interior_point import IPConfig, IPResult, make_solver
 from .api.controller import NMPC, NMPCResult, WarmStart
 
@@ -46,6 +48,7 @@ __all__ = [
     "Box", "Dims", "MPCSpec", "PathConstraint", "DomainConstraint",
     "equality_constraint", "inequality_constraint", "interval_constraint",
     "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
-    "MLPDynamics", "mlp_apply", "mlp_init", "IPConfig", "IPResult",
+    "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",
+    "rolling_window", "load_keras_h5", "load_torch_mlp", "IPConfig", "IPResult",
     "make_solver", "NMPC", "NMPCResult", "WarmStart",
 ]
