@@ -37,6 +37,7 @@ from .models.mlp import MLPDynamics, mlp_apply, mlp_init
 from .models.rolling import RollingWindow, rolling_mlp, rolling_window
 from .models.importers import load_keras_h5, load_torch_mlp
 from .solve.interior_point import IPConfig, IPResult, make_solver
+from .solve.alm import ALMConfig, make_alm_solver
 from .api.controller import NMPC, NMPCResult, WarmStart
 
 # Reference-compatible alias (pyNeuralEMPC.constraints.DomainConstraint).
@@ -50,5 +51,6 @@ __all__ = [
     "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",
     "rolling_window", "load_keras_h5", "load_torch_mlp", "IPConfig", "IPResult",
-    "make_solver", "NMPC", "NMPCResult", "WarmStart",
+    "make_solver", "ALMConfig", "make_alm_solver", "NMPC", "NMPCResult",
+    "WarmStart",
 ]

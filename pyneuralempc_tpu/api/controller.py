@@ -96,15 +96,22 @@ class NMPC:
         self.nlp: NLP = transcribe(self.spec)
         self.config = config
         from ..solve import riccati
-        if config.kkt == "riccati" or (config.kkt == "auto"
-                                       and riccati.eligible(self.nlp)):
-            direction = riccati.make_riccati_direction
-        elif config.kkt in ("auto", "dense"):
-            direction = None
+        from ..solve.alm import ALMConfig, make_alm_solver
+        if isinstance(config, ALMConfig):
+            self.kkt_backend = "alm"
+            self._ipcfg = config.ip
+            self._solve = make_alm_solver(self.nlp, config)
         else:
-            raise ValueError(f"unknown kkt backend {config.kkt!r}")
-        self.kkt_backend = "riccati" if direction else "dense"
-        self._solve = make_solver(self.nlp, config, direction=direction)
+            self._ipcfg = config
+            if config.kkt == "riccati" or (config.kkt == "auto"
+                                           and riccati.eligible(self.nlp)):
+                direction = riccati.make_riccati_direction
+            elif config.kkt in ("auto", "dense"):
+                direction = None
+            else:
+                raise ValueError(f"unknown kkt backend {config.kkt!r}")
+            self.kkt_backend = "riccati" if direction else "dense"
+            self._solve = make_solver(self.nlp, config, direction=direction)
         self.H, self.DT = H, DT
         self.model = model
 
@@ -144,7 +151,7 @@ class NMPC:
         w = self.nlp.pack(X, U)
         return WarmStart(w=w, lam=jnp.zeros((self.nlp.m,), w.dtype),
                          zl=None, zu=None,
-                         mu=jnp.asarray(self.config.mu_init, w.dtype),
+                         mu=jnp.asarray(self._ipcfg.mu_init, w.dtype),
                          valid=jnp.asarray(True))
 
     def shift(self, carry: WarmStart) -> WarmStart:
@@ -155,7 +162,7 @@ class NMPC:
         X, U, s = self.nlp.unpack(carry.w)
         X = jnp.concatenate([X[1:], X[-1:]], axis=0)
         U = jnp.concatenate([U[1:], U[-1:]], axis=0)
-        mu = jnp.maximum(carry.mu, self.config.warm_mu)
+        mu = jnp.maximum(carry.mu, self._ipcfg.warm_mu)
         return WarmStart(w=self.nlp.pack(X, U, s), lam=carry.lam,
                          zl=carry.zl, zu=carry.zu, mu=mu, valid=carry.valid)
 

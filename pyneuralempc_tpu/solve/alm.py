@@ -1,0 +1,135 @@
+"""Secondary solver: augmented-Lagrangian method (ALM).
+
+Role parity with the reference's SLSQP backend
+(``/root/reference/pyNeuralEMPC/optimizer/slsqp.py``): a second, Hessian-
+flexible algorithm for problems where the primal-dual interior point
+struggles, with the reference's escalating-retry semantics
+(``slsqp.py:178-194``: retry with relaxed tolerance, accept if the
+constraint violation is small) mapped to penalty escalation.
+
+Algorithm: minimise the augmented Lagrangian
+
+    AL(w; y, ρ) = J(w) + yᵀC(w) + (ρ/2)‖C(w)‖²     s.t. lb ≤ w ≤ ub
+
+in an outer loop over (y, ρ).  Each inner subproblem is box-constrained
+only, so it reuses the interior-point machinery with an empty equality set
+(the barrier handles the bounds; Newton or Gauss-Newton curvature per
+``IPConfig.hessian``).  Outer updates: y ← y + ρ·C(w); ρ ← ρ·factor when
+infeasibility does not contract.  Everything is one compiled program —
+outer ``lax.while_loop`` over inner solver calls — and vmaps per problem
+like the primary solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.transcription import NLP
+from .interior_point import IPConfig, IPResult, make_solver
+
+
+@dataclasses.dataclass(frozen=True)
+class ALMConfig:
+    """Outer-loop settings; ``ip`` configures the inner subproblem solver
+    (set ``ip.hessian='gauss_newton'`` for a fully Hessian-free mode)."""
+
+    ip: IPConfig = IPConfig(max_iter=25, tol=1e-5)
+    outer_iter: int = 12
+    rho_init: float = 10.0
+    rho_factor: float = 5.0
+    rho_max: float = 1e6
+    tol_feas: float = 1e-5         # ‖C(w)‖∞ target
+    contraction: float = 0.5       # required per-outer infeasibility drop
+
+
+class _ALMState(NamedTuple):
+    w: Any
+    y: Any
+    rho: Any
+    theta_prev: Any
+    it: Any
+    done: Any
+    converged: Any
+    inner_kkt: Any
+
+
+def make_alm_solver(nlp: NLP, config: ALMConfig = ALMConfig()):
+    """Build ``solve(rt, w0, lam0=None, ...) -> IPResult`` (same interface
+    as the interior-point solver, so the controller treats both alike)."""
+    cfg = config
+    m = nlp.m
+
+    def al_objective(w, rt):
+        c = nlp.constraints(w, rt)
+        return (nlp.objective(w, rt) + jnp.dot(rt["alm_y"], c)
+                + 0.5 * rt["alm_rho"] * jnp.dot(c, c))
+
+    inner_nlp = NLP(spec=nlp.spec, n=nlp.n, m=1,
+                    objective=al_objective,
+                    constraints=lambda w, rt: jnp.zeros((1,), nlp.lower.dtype),
+                    lower=nlp.lower, upper=nlp.upper,
+                    pack=nlp.pack, unpack=nlp.unpack)
+
+    hessian_fn = None
+    if cfg.ip.hessian == "gauss_newton":
+        # Hessian-free mode: Gauss-Newton curvature of the *original*
+        # equality residuals, ρ·AᵀA (the inner problem's own constraint set
+        # is empty, so the generic GN rule would yield zero curvature).
+        def hessian_fn(w, lam, rt):
+            del lam
+            A = jax.jacrev(lambda ww: nlp.constraints(ww, rt))(w)
+            return (rt["alm_rho"] * A.T @ A
+                    + cfg.ip.gn_reg * jnp.eye(nlp.n, dtype=nlp.lower.dtype))
+
+    inner_solve = make_solver(inner_nlp, cfg.ip, hessian_fn=hessian_fn)
+
+    def solve(rt, w0, lam0=None, zl0=None, zu0=None, mu0=None) -> IPResult:
+        dtype = nlp.lower.dtype
+        y0 = jnp.zeros((m,), dtype) if lam0 is None else lam0.astype(dtype)
+
+        def outer(state: _ALMState) -> _ALMState:
+            rt_in = dict(rt)
+            rt_in["alm_y"] = state.y
+            rt_in["alm_rho"] = state.rho
+            res = inner_solve(rt_in, state.w)
+            c = nlp.constraints(res.w, rt)
+            th = jnp.max(jnp.abs(c))
+            y_new = state.y + state.rho * c
+            y_new = jnp.clip(y_new, -1e8, 1e8)
+            contracted = th <= cfg.contraction * state.theta_prev
+            rho_new = jnp.where(contracted, state.rho,
+                                jnp.minimum(state.rho * cfg.rho_factor,
+                                            cfg.rho_max))
+            feas = th <= cfg.tol_feas
+            stat = res.kkt_error <= cfg.ip.tol * 10.0
+            converged = feas & stat
+            return _ALMState(w=res.w, y=y_new, rho=rho_new, theta_prev=th,
+                             it=state.it + 1, done=converged,
+                             converged=converged, inner_kkt=res.kkt_error)
+
+        init = _ALMState(
+            w=w0.astype(dtype), y=y0,
+            rho=jnp.asarray(cfg.rho_init, dtype),
+            theta_prev=jnp.asarray(jnp.inf, dtype),
+            it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+            converged=jnp.asarray(False),
+            inner_kkt=jnp.asarray(jnp.inf, dtype))
+
+        state = jax.lax.while_loop(
+            lambda s: (~s.done) & (s.it < cfg.outer_iter), outer, init)
+
+        c = nlp.constraints(state.w, rt)
+        zeros = jnp.zeros_like(state.w)
+        return IPResult(w=state.w, lam=state.y, zl=zeros, zu=zeros,
+                        mu=jnp.asarray(cfg.ip.tol, dtype),
+                        converged=state.converged,
+                        iterations=state.it,
+                        kkt_error=jnp.maximum(state.inner_kkt,
+                                              jnp.max(jnp.abs(c))),
+                        objective=nlp.objective(state.w, rt))
+
+    return solve

@@ -122,7 +122,7 @@ class IPResult(NamedTuple):
 
 
 def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
-                direction=None) -> Callable:
+                direction=None, hessian_fn=None) -> Callable:
     """Build ``solve(rt, w0, lam0=None, zl0=None, zu0=None, mu0=None)
     -> IPResult`` for one problem.
 
@@ -146,7 +146,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     grad_obj = jax.grad(nlp.objective)
     jac_cons = jax.jacrev(nlp.constraints)
 
-    if cfg.hessian == "exact":
+    if hessian_fn is not None:
+        hess_w = hessian_fn
+    elif cfg.hessian == "exact":
         def hess_w(w, lam, rt):
             return jax.hessian(lambda ww: nlp.lagrangian(ww, lam, rt))(w)
     elif cfg.hessian == "objective":

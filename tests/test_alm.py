@@ -1,0 +1,69 @@
+"""Secondary ALM solver (the SLSQP-role backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyneuralempc_tpu as nempc
+from pyneuralempc_tpu.solve.alm import ALMConfig
+from pyneuralempc_tpu.solve.interior_point import IPConfig
+
+
+def lv_f(x, u):
+    return jnp.concatenate(
+        [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+         -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+
+def build(config):
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    return nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                      config=config)
+
+
+@pytest.fixture(scope="module")
+def ip_result():
+    mpc = build(IPConfig())
+    return mpc.next(jnp.array([0.3, 0.2]))
+
+
+def test_alm_matches_ip(ip_result):
+    mpc = build(ALMConfig())
+    assert mpc.kkt_backend == "alm"
+    res = mpc.next(jnp.array([0.3, 0.2]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ip_result.u),
+                               atol=1e-4)
+
+
+def test_alm_hessian_free_matches_ip(ip_result):
+    """SLSQP-style no-second-derivatives mode (Gauss-Newton curvature)."""
+    mpc = build(ALMConfig(ip=IPConfig(max_iter=40, tol=1e-5,
+                                      hessian="gauss_newton")))
+    res = mpc.next(jnp.array([0.3, 0.2]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ip_result.u),
+                               atol=2e-4)
+
+
+def test_alm_batched():
+    mpc = build(ALMConfig())
+    x0s = jnp.array([[0.3, 0.2], [0.1, -0.1], [0.2, 0.4], [0.15, 0.05]])
+    _, res = mpc.next_batch(x0s)
+    assert int(res.converged.sum()) == 4
+
+
+def test_alm_infeasible_reports_failure():
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u)
+    # prey must stay below a cap it cannot satisfy (weak control authority)
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 0.25], [-2.0, 2.0]],
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                     config=ALMConfig(outer_iter=6))
+    res = mpc.next(jnp.array([0.3, 0.2]))
+    assert not bool(res.converged)
