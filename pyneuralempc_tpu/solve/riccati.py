@@ -56,6 +56,78 @@ from ..ops.rollout import shift_states
 _DELTAS = (0.0, 1e-6, 1e-4, 1e-2, 1.0, 1e2)
 
 
+def riccati_sweep(A, B, G, M, m_x, m_u, c, delta):
+    """One backward+forward Riccati sweep (single problem).
+
+    Inputs: per-stage blocks A (H,nx,nx), B (H,nx,nu), G (H,ns,ns),
+    M (H,ns,ns) [already Σ-folded], linear terms m_x (H,nx), m_u (H,nu),
+    defect residuals c (H,nx), scalar regularisation ``delta`` added to the
+    decision-variable diagonal.  Returns (dX, dU, dLam, ok).
+
+    Wrapped in ``jax.custom_batching.custom_vmap``: under ``vmap`` the
+    whole batch is dispatched to the fused Pallas TPU kernel
+    (:mod:`pyneuralempc_tpu.ops.pallas.riccati_kernel`) when the problem
+    dims fit its limits, else to a plain vmapped scan.
+    """
+    from ..ops.pallas.riccati_kernel import riccati_sweep_custom
+    return riccati_sweep_custom(A, B, G, M, m_x, m_u, c, delta)
+
+
+def riccati_sweep_ref(A, B, G, M, m_x, m_u, c, delta):
+    """Reference implementation: lax.scan backward + forward (one problem)."""
+    H, nx = c.shape
+    nu = B.shape[2]
+    dtype = A.dtype
+    ix = jnp.arange(nx)
+    iu = jnp.arange(nu)
+    Md = M.at[:, ix, ix].add(delta)
+    Md = Md.at[:, nx + iu, nx + iu].add(delta)
+
+    def backward(carry, blocks):
+        P, p_vec, okc = carry
+        A_t, B_t, G_t, M_t, mx_t, mu_t, c_t = blocks
+        Mxx = M_t[:nx, :nx]
+        Mxu = M_t[:nx, nx:]
+        Muu = M_t[nx:, nx:]
+        Pbar = P + Mxx
+        pbar = p_vec + mx_t
+        PA = Pbar @ A_t
+        PB = Pbar @ B_t
+        Qxx = A_t.T @ PA + G_t[:nx, :nx]
+        BtMxu = B_t.T @ Mxu
+        Quu = B_t.T @ PB + Muu + BtMxu + BtMxu.T + G_t[nx:, nx:]
+        Qux = B_t.T @ PA + Mxu.T @ A_t + G_t[nx:, :nx]
+        Pc_p = Pbar @ c_t + pbar
+        qx = A_t.T @ Pc_p
+        qu = B_t.T @ Pc_p + Mxu.T @ c_t + mu_t
+
+        L = jnp.linalg.cholesky(Quu)
+        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+        k = -jax.scipy.linalg.cho_solve((L, True), qu)
+        okc = okc & jnp.all(jnp.isfinite(L))
+        P_new = Qxx + Qux.T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = qx + Qux.T @ k
+        return (P_new, p_new, okc), (K, k, Pbar, pbar, Mxu)
+
+    init = (jnp.zeros((nx, nx), dtype), jnp.zeros((nx,), dtype),
+            jnp.asarray(True))
+    (_, _, okc), (K, k, Pbar, pbar, Mxu) = jax.lax.scan(
+        backward, init, (A, B, G, Md, m_x, m_u, c), reverse=True)
+
+    def forward(dx, blocks):
+        A_t, B_t, c_t, K_t, k_t, Pb, pb, Mxu_t = blocks
+        du = K_t @ dx + k_t
+        dx_next = A_t @ dx + B_t @ du + c_t
+        dlam_t = Pb @ dx_next + Mxu_t @ du + pb
+        return dx_next, (dx_next, du, dlam_t)
+
+    dx0 = jnp.zeros((nx,), dtype)
+    _, (dX, dU, dLam) = jax.lax.scan(
+        forward, dx0, (A, B, c, K, k, Pbar, pbar, Mxu))
+    return dX, dU, dLam, okc
+
+
 def eligible(nlp: NLP) -> bool:
     spec = nlp.spec
     return (spec is not None
@@ -134,53 +206,7 @@ def make_riccati_direction(nlp: NLP, cfg) -> Callable:
         M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
 
         def sweep(delta):
-            Md = M.at[:, ix, ix].add(delta)
-            Md = Md.at[:, nx + iu, nx + iu].add(delta)
-
-            def backward(carry, blocks):
-                P, p_vec, okc = carry
-                A_t, B_t, G_t, M_t, mx_t, mu_t, c_t = blocks
-                Mxx = M_t[:nx, :nx]
-                Mxu = M_t[:nx, nx:]
-                Muu = M_t[nx:, nx:]
-                Pbar = P + Mxx
-                pbar = p_vec + mx_t
-                PA = Pbar @ A_t
-                PB = Pbar @ B_t
-                Qxx = A_t.T @ PA + G_t[:nx, :nx]
-                BtMxu = B_t.T @ Mxu
-                Quu = (B_t.T @ PB + Muu + BtMxu + BtMxu.T
-                       + G_t[nx:, nx:])
-                Qux = B_t.T @ PA + Mxu.T @ A_t + G_t[nx:, :nx]
-                Pc_p = Pbar @ c_t + pbar
-                qx = A_t.T @ Pc_p
-                qu = B_t.T @ Pc_p + Mxu.T @ c_t + mu_t
-
-                L = jnp.linalg.cholesky(Quu)
-                K = -jax.scipy.linalg.cho_solve((L, True), Qux)
-                k = -jax.scipy.linalg.cho_solve((L, True), qu)
-                okc = okc & jnp.all(jnp.isfinite(L))
-                P_new = Qxx + Qux.T @ K
-                P_new = 0.5 * (P_new + P_new.T)
-                p_new = qx + Qux.T @ k
-                return (P_new, p_new, okc), (K, k, Pbar, pbar, Mxu)
-
-            blocks = (A, B, G, Md, m_x, m_u, c)
-            init = (jnp.zeros((nx, nx), w.dtype), jnp.zeros((nx,), w.dtype),
-                    jnp.asarray(True))
-            (_, _, okc), (K, k, Pbar, pbar, Mxu) = jax.lax.scan(
-                backward, init, blocks, reverse=True)
-
-            def forward(dx, blocks):
-                A_t, B_t, c_t, K_t, k_t, Pb, pb, Mxu_t = blocks
-                du = K_t @ dx + k_t
-                dx_next = A_t @ dx + B_t @ du + c_t
-                dlam_t = Pb @ dx_next + Mxu_t @ du + pb
-                return dx_next, (dx_next, du, dlam_t)
-
-            dx0 = jnp.zeros((nx,), w.dtype)
-            _, (dX, dU, dLam) = jax.lax.scan(
-                forward, dx0, (A, B, c, K, k, Pbar, pbar, Mxu))
+            dX, dU, dLam, okc = riccati_sweep(A, B, G, M, m_x, m_u, c, delta)
             dw = nlp.pack(dX, dU)
             dlam = dLam.reshape(-1)
             ok = okc & jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dlam))

@@ -1,0 +1,82 @@
+"""Fused Riccati Pallas kernel vs the scan reference (interpret mode on
+CPU; the compiled path is exercised by bench.py on real TPU hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyneuralempc_tpu.ops.pallas.riccati_kernel import (_kernel_fits,
+                                                        riccati_sweep_pallas)
+from pyneuralempc_tpu.solve.riccati import riccati_sweep_ref
+
+
+def make_data(B=3, H=5, nx=2, nu=1, seed=0):
+    rng = np.random.default_rng(seed)
+    ns = nx + nu
+    A = jnp.asarray(np.eye(nx) + 0.1 * rng.normal(0, 0.3, (B, H, nx, nx)),
+                    jnp.float32)
+    Bm = jnp.asarray(0.1 * rng.normal(0, 1, (B, H, nx, nu)), jnp.float32)
+    G = jnp.asarray(rng.normal(0, 0.05, (B, H, ns, ns)), jnp.float32)
+    G = 0.5 * (G + G.transpose(0, 1, 3, 2))
+    M = jnp.asarray(rng.normal(0, 0.1, (B, H, ns, ns)), jnp.float32)
+    M = 0.5 * (M + M.transpose(0, 1, 3, 2)) + jnp.eye(ns)
+    mx = jnp.asarray(rng.normal(0, 1, (B, H, nx)), jnp.float32)
+    mu_ = jnp.asarray(rng.normal(0, 1, (B, H, nu)), jnp.float32)
+    c = jnp.asarray(rng.normal(0, 0.1, (B, H, nx)), jnp.float32)
+    delta = jnp.zeros((B,), jnp.float32)
+    return A, Bm, G, M, mx, mu_, c, delta
+
+
+def test_kernel_matches_scan_interpret():
+    args = make_data()
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    for r, o in zip(ref[:3], out[:3]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-5)
+    assert bool(jnp.all(ref[3] == out[3]))
+
+
+def test_kernel_nx4_interpret():
+    args = make_data(B=2, H=3, nx=4, nu=1, seed=1)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    for r, o in zip(ref[:3], out[:3]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+
+
+def test_kernel_delta_per_problem_interpret():
+    """δ varies per batch element (vectorised inertia retry)."""
+    args = list(make_data(B=4, H=4))
+    args[7] = jnp.asarray([0.0, 0.1, 1.0, 10.0], jnp.float32)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=2e-5)
+
+
+def test_kernel_ok_flag_on_negative_curvature():
+    args = list(make_data(B=2, H=3))
+    # poison problem 1 with hugely negative control curvature
+    M = np.array(args[3])
+    M[1, :, 2, 2] = -50.0
+    args[3] = jnp.asarray(M)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    assert bool(out[3][0])
+    assert not bool(out[3][1])
+
+
+def test_fits_predicate():
+    assert _kernel_fits(20, 2, 1)          # LV bench config
+    assert not _kernel_fits(20, 2, 4)      # nu > 1 unsupported
+    assert not _kernel_fits(200, 12, 1)    # too big for VMEM
+
+
+def test_custom_vmap_fallback_on_cpu():
+    """On CPU the custom_vmap rule must route to the vmapped scan."""
+    from pyneuralempc_tpu.solve.riccati import riccati_sweep
+    args = make_data()
+    out = jax.jit(jax.vmap(riccati_sweep))(*args)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=1e-5)
