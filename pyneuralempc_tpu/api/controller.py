@@ -103,14 +103,21 @@ class NMPC:
             self._solve = make_alm_solver(self.nlp, config)
         else:
             self._ipcfg = config
-            if config.kkt == "riccati" or (config.kkt == "auto"
-                                           and riccati.eligible(self.nlp)):
+            if config.kkt == "riccati_pscan":
+                from ..solve.pscan import riccati_sweep_pscan
+                import functools
+                direction = functools.partial(
+                    riccati.make_riccati_direction,
+                    sweep_impl=riccati_sweep_pscan)
+            elif config.kkt == "riccati" or (config.kkt == "auto"
+                                             and riccati.eligible(self.nlp)):
                 direction = riccati.make_riccati_direction
             elif config.kkt in ("auto", "dense"):
                 direction = None
             else:
                 raise ValueError(f"unknown kkt backend {config.kkt!r}")
-            self.kkt_backend = "riccati" if direction else "dense"
+            self.kkt_backend = (config.kkt if config.kkt.startswith("riccati")
+                                else ("riccati" if direction else "dense"))
             self._solve = make_solver(self.nlp, config, direction=direction)
         self.H, self.DT = H, DT
         self.model = model

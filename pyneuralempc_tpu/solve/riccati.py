@@ -135,12 +135,19 @@ def eligible(nlp: NLP) -> bool:
             and len(spec.path_constraints) == 0)
 
 
-def make_riccati_direction(nlp: NLP, cfg) -> Callable:
-    """KKT backend factory for :func:`..interior_point.make_solver`."""
+def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
+    """KKT backend factory for :func:`..interior_point.make_solver`.
+
+    ``sweep_impl``: the sweep function (defaults to :func:`riccati_sweep`,
+    i.e. scan reference + Pallas under vmap; pass
+    :func:`~pyneuralempc_tpu.solve.pscan.riccati_sweep_pscan` for the
+    O(log H) parallel-in-time variant).
+    """
     if not eligible(nlp):
         raise ValueError(
             "Riccati KKT backend needs a StageCost objective and no general "
             "path constraints (box bounds only); use the dense backend.")
+    the_sweep = sweep_impl if sweep_impl is not None else riccati_sweep
     spec = nlp.spec
     H, nx, nu = spec.H, spec.dims.x, spec.dims.u
     phi = step_fn(spec.model, spec.integrator, spec.DT)
@@ -206,7 +213,7 @@ def make_riccati_direction(nlp: NLP, cfg) -> Callable:
         M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
 
         def sweep(delta):
-            dX, dU, dLam, okc = riccati_sweep(A, B, G, M, m_x, m_u, c, delta)
+            dX, dU, dLam, okc = the_sweep(A, B, G, M, m_x, m_u, c, delta)
             dw = nlp.pack(dX, dU)
             dlam = dLam.reshape(-1)
             ok = okc & jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dlam))
