@@ -54,16 +54,18 @@ def _chol_inv_mul(Q, X):
     return jax.scipy.linalg.cho_solve((L, True), X), L
 
 
-def riccati_sweep_pscan(A, B, G, M, m_x, m_u, c, delta):
-    """Drop-in replacement for ``riccati_sweep_ref`` (same contract) with
-    O(log H) sequential depth.  Single problem; vmap for batches."""
+def _canonical_elems(A, B, G, M, m_x, m_u, c, delta):
+    """Canonical LQT stage data + cross-eliminated value-map elements.
+
+    Returns (elems, (Uh, Sh, uh), ok) where elems = (Ā, c̄, C, x̄, X̄)
+    stacked over stages.  Shared by the single-device pscan sweep and the
+    horizon-sharded sweep (parallel/horizon.py).
+    """
     H, nx = c.shape
     nu = B.shape[2]
-    dtype = A.dtype
     ns = nx + nu
     ix = jnp.arange(nx)
     iu = jnp.arange(nu)
-    eye_x = jnp.eye(nx, dtype=dtype)
 
     Md = M.at[:, ix, ix].add(delta)
     Md = Md.at[:, nx + iu, nx + iu].add(delta)
@@ -103,7 +105,38 @@ def riccati_sweep_pscan(A, B, G, M, m_x, m_u, c, delta):
 
     Abar, cbar, Cmat, xbar, Xbar, ok_stage = jax.vmap(stage_elem)(
         Uh, Sh, uh, A, B, c, Xh, xh)
-    ok = jnp.all(ok_stage)
+    return ((Abar, cbar, Cmat, xbar, Xbar), (Uh, Sh, uh),
+            jnp.all(ok_stage))
+
+
+def _gains(Uh_t, Sh_t, uh_t, A_t, B_t, c_t, Pn, pn):
+    """Stage gains given the next-state value (P_{t+1}, p_{t+1})."""
+    Quu = Uh_t + B_t.T @ Pn @ B_t
+    Qux = Sh_t + B_t.T @ Pn @ A_t
+    qu = uh_t + B_t.T @ (Pn @ c_t + pn)
+    L = jnp.linalg.cholesky(Quu)
+    K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+    k = -jax.scipy.linalg.cho_solve((L, True), qu)
+    return K, k, jnp.all(jnp.isfinite(L))
+
+
+def riccati_sweep_pscan(A, B, G, M, m_x, m_u, c, delta):
+    """Drop-in replacement for ``riccati_sweep_ref`` (same contract) with
+    O(log H) sequential depth.  Single problem; vmap for batches."""
+    H, nx = c.shape
+    nu = B.shape[2]
+    dtype = A.dtype
+    ix = jnp.arange(nx)
+    iu = jnp.arange(nu)
+    eye_x = jnp.eye(nx, dtype=dtype)
+
+    Md = M.at[:, ix, ix].add(delta)
+    Md = Md.at[:, nx + iu, nx + iu].add(delta)
+    Mxx = Md[:, :nx, :nx]
+    Mxu = Md[:, :nx, nx:]
+
+    (Abar, cbar, Cmat, xbar, Xbar), (Uh, Sh, uh), ok = _canonical_elems(
+        A, B, G, M, m_x, m_u, c, delta)
 
     # ---- backward associative scan over value-map elements ----
     def compose(e1, e2):
@@ -142,16 +175,7 @@ def riccati_sweep_pscan(A, B, G, M, m_x, m_u, c, delta):
     p_next = jnp.concatenate([p_all[1:], jnp.zeros((1, nx), dtype)], 0)
 
     # ---- stage-parallel gains from the original (with-cross) data ----
-    def gains(Uh_t, Sh_t, uh_t, A_t, B_t, c_t, Pn, pn):
-        Quu = Uh_t + B_t.T @ Pn @ B_t
-        Qux = Sh_t + B_t.T @ Pn @ A_t
-        qu = uh_t + B_t.T @ (Pn @ c_t + pn)
-        L = jnp.linalg.cholesky(Quu)
-        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
-        k = -jax.scipy.linalg.cho_solve((L, True), qu)
-        return K, k, jnp.all(jnp.isfinite(L))
-
-    K, k, ok_g = jax.vmap(gains)(Uh, Sh, uh, A, B, c, P_next, p_next)
+    K, k, ok_g = jax.vmap(_gains)(Uh, Sh, uh, A, B, c, P_next, p_next)
     ok = ok & jnp.all(ok_g)
 
     # ---- forward associative scan of affine closed-loop maps ----
