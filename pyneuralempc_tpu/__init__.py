@@ -36,6 +36,9 @@ from .models.base import DynamicsModel, jax_dynamics
 from .models.mlp import MLPDynamics, mlp_apply, mlp_init
 from .models.rolling import RollingWindow, rolling_mlp, rolling_window
 from .models.importers import load_keras_h5, load_torch_mlp
+from .models.rnn import GRUDynamics, gru_dynamics, fit_gru_on_sequences
+from .utils.checkpoint import load_pytree, save_pytree
+from .utils.check import check_model, check_problem
 from .solve.interior_point import IPConfig, IPResult, make_solver
 from .solve.alm import ALMConfig, make_alm_solver
 from .api.controller import NMPC, NMPCResult, WarmStart
@@ -50,7 +53,9 @@ __all__ = [
     "equality_constraint", "inequality_constraint", "interval_constraint",
     "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",
-    "rolling_window", "load_keras_h5", "load_torch_mlp", "IPConfig", "IPResult",
+    "rolling_window", "load_keras_h5", "load_torch_mlp", "GRUDynamics",
+    "gru_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
+    "check_model", "check_problem", "IPConfig", "IPResult",
     "make_solver", "ALMConfig", "make_alm_solver", "NMPC", "NMPCResult",
     "WarmStart",
 ]

@@ -1,0 +1,151 @@
+"""Recurrent (GRU) dynamics models via lifted hidden state.
+
+BASELINE config 5 calls for an RNN dynamics model (the reference roadmap
+lists RNN support as TODO, ``README.md:23`` — never implemented).  Same
+lifting idea as the rolling window (:mod:`.rolling`): the recurrent hidden
+state joins the MPC state vector,
+
+    z_t = [x_t, h_t],
+    z_{t+1} = [ x_t + f_out(h_{t+1}),  h_{t+1} ],
+    h_{t+1} = GRU(h_t, [x_t, u_t]),
+
+so the transcription stays first-order Markov, stage sparsity is preserved,
+every KKT backend works unchanged, and all derivatives (including through
+the gate nonlinearities) come from autodiff.  Box bounds apply to the
+physical block; the hidden block is unbounded.
+
+The GRU cell is a plain params-pytree implementation (no flax dependency
+on the hot path) with bf16-able matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import Box, Dims
+from .base import DynamicsModel, _call_user_fn
+
+
+def gru_init(key, in_dim: int, hidden: int, out_dim: int):
+    """GRU cell + linear readout params."""
+    k = jax.random.split(key, 4)
+    scale = 1.0 / jnp.sqrt(hidden + in_dim)
+
+    def mat(kk, shape):
+        return jax.random.uniform(kk, shape, jnp.float32, -scale, scale)
+
+    return {
+        "wz": mat(k[0], (in_dim + hidden, hidden)),
+        "wr": mat(k[1], (in_dim + hidden, hidden)),
+        "wh": mat(k[2], (in_dim + hidden, hidden)),
+        "bz": jnp.zeros((hidden,)), "br": jnp.zeros((hidden,)),
+        "bh": jnp.zeros((hidden,)),
+        "wo": mat(k[3], (hidden, out_dim)),
+        "bo": jnp.zeros((out_dim,)),
+    }
+
+
+def gru_step(params, h, inp):
+    """One GRU update, batched over leading axes: h (…, nh), inp (…, ni)."""
+    hx = jnp.concatenate([inp, h], axis=-1)
+    dot = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    z = jax.nn.sigmoid(dot(hx, params["wz"]) + params["bz"])
+    r = jax.nn.sigmoid(dot(hx, params["wr"]) + params["br"])
+    hxr = jnp.concatenate([inp, r * h], axis=-1)
+    h_tilde = jnp.tanh(dot(hxr, params["wh"]) + params["bh"])
+    return (1.0 - z) * h + z * h_tilde
+
+
+@dataclasses.dataclass(frozen=True)
+class GRUDynamics:
+    """Lifted GRU dynamics bundle (use ``.model`` with integrator='direct')."""
+
+    model: DynamicsModel
+    x_dim: int
+    u_dim: int
+    hidden: int
+
+    def lift(self, x0, h0=None) -> jnp.ndarray:
+        h0 = jnp.zeros((self.hidden,)) if h0 is None else jnp.asarray(h0)
+        return jnp.concatenate([jnp.asarray(x0), h0])
+
+    def head(self, Z) -> jnp.ndarray:
+        return Z[..., : self.x_dim]
+
+    def box(self, states_constraint, control_constraint,
+            hidden_bound: float = 10.0) -> Box:
+        """Physical bounds + loose symmetric bounds on the hidden block
+        (keeps the barrier well-scaled; GRU hiddens live in (-1, 1))."""
+        hb = [[-hidden_bound, hidden_bound]] * self.hidden
+        return Box.make(list(states_constraint) + hb, control_constraint)
+
+    def head_objective(self, fn: Callable) -> Callable:
+        def wrapped(Z, u, p=None, tvp=None):
+            return _call_user_fn(fn, self.head(Z), u, p, tvp)
+        return wrapped
+
+    def init_params(self, key):
+        return gru_init(key, self.x_dim + self.u_dim, self.hidden,
+                        self.x_dim)
+
+
+def gru_dynamics(x_dim: int, u_dim: int, hidden: int = 16,
+                 p_dim: int = 0, tvp_dim: int = 0,
+                 name: str = "gru") -> GRUDynamics:
+    """Build a lifted GRU dynamics model: x_{t+1} = x_t + W_o h_{t+1}."""
+    nz = x_dim + hidden
+
+    def fn(z, u, p, tvp, params):
+        x, h = z[:, :x_dim], z[:, x_dim:]
+        inp = jnp.concatenate([x, u], axis=-1)
+        h_new = gru_step(params, h, inp)
+        dx = jnp.dot(h_new, params["wo"],
+                     preferred_element_type=jnp.float32) + params["bo"]
+        return jnp.concatenate([x + dx, h_new], axis=-1)
+
+    lifted = DynamicsModel(fn=fn, dims=Dims(nz, u_dim, p_dim, tvp_dim),
+                           name=name)
+    return GRUDynamics(model=lifted, x_dim=x_dim, u_dim=u_dim,
+                       hidden=hidden)
+
+
+def fit_gru_on_sequences(gd: GRUDynamics, X_seqs, U_seqs, steps: int = 2000,
+                         lr: float = 1e-3, key=None) -> Tuple[dict, float]:
+    """Teacher-forced sequence fitting: X_seqs (N, T+1, x_dim),
+    U_seqs (N, T, u_dim) — returns (params, final mse)."""
+    import optax
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    params = gd.init_params(key)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def rollout_loss(p, xs, us):
+        def step(h, xu):
+            x_t, u_t, x_next = xu
+            inp = jnp.concatenate([x_t, u_t])
+            h_new = gru_step(p, h, inp)
+            pred = x_t + jnp.dot(h_new, p["wo"]) + p["bo"]
+            return h_new, jnp.sum((pred - x_next) ** 2)
+
+        h0 = jnp.zeros((gd.hidden,))
+        _, errs = jax.lax.scan(step, h0, (xs[:-1], us, xs[1:]))
+        return jnp.mean(errs)
+
+    def loss(p):
+        return jnp.mean(jax.vmap(lambda xs, us: rollout_loss(p, xs, us))(
+            X_seqs, U_seqs))
+
+    def train_step(carry, _):
+        p, s = carry
+        l, g = jax.value_and_grad(loss)(p)
+        upd, s = opt.update(g, s)
+        return (optax.apply_updates(p, upd), s), l
+
+    (params, _), losses = jax.lax.scan(train_step, (params, opt_state),
+                                       None, length=steps)
+    return params, float(losses[-1])

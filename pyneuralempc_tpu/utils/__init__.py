@@ -1,0 +1,3 @@
+from .timing import time_fn
+from .checkpoint import save_pytree, load_pytree
+from .check import check_model, check_problem
