@@ -84,6 +84,7 @@ class IPConfig:
     gn_reg: float = 1e-6           # curvature floor for non-exact modes
     kkt: str = "auto"              # "auto" | "dense" | "riccati"
     debug: bool = False            # per-iteration jax.debug.print trace
+    record: bool = False           # return per-iteration history arrays
 
     def __post_init__(self):
         if self.hessian not in ("exact", "objective", "gauss_newton"):
@@ -442,8 +443,22 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             def cond(s):
                 return (~s.done) & (s.it < cfg.max_iter)
 
-            state = jax.lax.while_loop(cond, lambda s: iteration(s, rt),
-                                       state)
+            if cfg.record:
+                # Fixed-length scan (no early exit) collecting the solve
+                # history — the observability role of the reference's
+                # Slsqp(debug=True) iterate recording (slsqp.py:37-39).
+                def body(s, _):
+                    s2 = iteration(s, rt)
+                    rec = {"kkt_error": s2.kkt_error, "mu": s2.mu,
+                           "objective": nlp.objective(s2.w, rt),
+                           "theta": theta(s2.w, rt), "done": s2.done}
+                    return s2, rec
+                state, trace = jax.lax.scan(body, state, None,
+                                            length=cfg.max_iter)
+            else:
+                trace = None
+                state = jax.lax.while_loop(cond, lambda s: iteration(s, rt),
+                                           state)
             # Final convergence check (the loop checks at iteration entry).
             g = grad_obj(state.w, rt)
             c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt),
@@ -452,10 +467,13 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             err = kkt_error(state.w, state.lam, state.zl, state.zu, g,
                             ATlam, c, 0.0)
         converged = state.converged | (err <= cfg.tol)
-        return IPResult(w=state.w, lam=state.lam, zl=state.zl, zu=state.zu,
-                        mu=state.mu, converged=converged,
-                        iterations=state.it,
-                        kkt_error=jnp.minimum(err, state.kkt_error),
-                        objective=nlp.objective(state.w, rt))
+        result = IPResult(w=state.w, lam=state.lam, zl=state.zl,
+                          zu=state.zu, mu=state.mu, converged=converged,
+                          iterations=state.it,
+                          kkt_error=jnp.minimum(err, state.kkt_error),
+                          objective=nlp.objective(state.w, rt))
+        if cfg.record:
+            return result, trace
+        return result
 
     return solve

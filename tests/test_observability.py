@@ -1,0 +1,54 @@
+"""Iterate recording + closed-loop harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pyneuralempc_tpu as nempc
+from pyneuralempc_tpu.api.simulate import closed_loop, plant_from_model
+from pyneuralempc_tpu.core.transcription import transcribe
+from pyneuralempc_tpu.solve.interior_point import IPConfig, make_solver
+
+
+def lv_f(x, u):
+    return jnp.concatenate(
+        [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+         -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+
+def build_nlp():
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=8, DT=0.1)
+    return mpc
+
+
+def test_record_trace():
+    mpc = build_nlp()
+    cfg = IPConfig(max_iter=25, record=True)
+    solve = make_solver(mpc.nlp, cfg)
+    rt = nempc.runtime(jnp.array([0.3, 0.2]))
+    w0 = mpc.cold_start(jnp.array([0.3, 0.2])).w
+    res, trace = jax.jit(solve)(rt, w0)
+    assert bool(res.converged)
+    assert trace["kkt_error"].shape == (25,)
+    # history is monotone-ish: the final recorded error is far below start
+    first = float(trace["kkt_error"][0])
+    done_idx = int(np.argmax(np.asarray(trace["done"])))
+    assert float(trace["kkt_error"][done_idx]) < first
+    # mu decreases over the solve
+    assert float(trace["mu"][done_idx]) <= float(trace["mu"][0])
+
+
+def test_closed_loop_harness():
+    mpc = build_nlp()
+    model = mpc.model
+    plant = plant_from_model(model, "rk4", 0.1)
+    out = closed_loop(mpc, plant, jnp.array([0.3, 0.2]), steps=12,
+                      replan_every=2)
+    assert out.x.shape == (13, 2)
+    assert out.u.shape == (12, 1)
+    assert out.converged.all()
+    assert (out.iterations[1:] <= out.iterations[0]).all()  # warm faster
