@@ -2,13 +2,14 @@
 
 The structured KKT solve (solve/riccati.py) is a backward + forward scan of
 tiny matrix ops — exactly the shape XLA handles worst on TPU: H sequential
-steps of (B, n, n) matmuls with n ∈ {2..6}, each far below MXU tile size, so
-the scan becomes launch/latency-bound.  This kernel fuses the *entire*
+steps of (B, n, n) matmuls with n ∈ {2..16}, each far below MXU tile size,
+so the scan becomes launch/latency-bound.  This kernel fuses the *entire*
 sweep (all H stages, both directions, the δ-regularised stage Cholesky and
 the ok-mask) into one Pallas program with the batch laid out on the VPU
 tile: 1024 problems per grid step as an (8, 128) tile per matrix element,
 so every vector op runs at full VPU width and all stage state lives in
-VMEM/registers.
+VMEM/registers.  The nu×nu stage Cholesky is fully unrolled tile-wise
+(supports any small nu; ok-mask tracks pivot positivity per problem).
 
 Layout: ``(rows, G, 8, 128)`` where rows flattens (t, i, j) and G indexes
 1024-problem groups; the grid runs over G.  The per-stage loop is a Python
@@ -17,8 +18,8 @@ unroll (H is static), so the whole sweep is straight-line vector code.
 Bound to the solver via ``jax.custom_batching.custom_vmap``
 (:func:`riccati_sweep_custom`): the unbatched call is the lax.scan
 reference; under ``vmap`` the batch dispatches here when (a) running on
-TPU, (b) nu == 1 (scalar stage Cholesky), and (c) the working set fits
-VMEM — otherwise it falls back to the vmapped scan.
+TPU and (b) the working set fits VMEM — otherwise it falls back to the
+vmapped scan.
 """
 
 from __future__ import annotations
@@ -36,39 +37,74 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _kernel_fits(H: int, nx: int, nu: int) -> bool:
-    if nu != 1:
+    if nu > 4:
         return False
     ns = nx + nu
-    rows = H * (2 * nx * nx + 2 * ns * ns + 2 * nx + 2 * nu + nx + 3)
+    # inputs + outputs + scratch rows resident in VMEM per grid step
+    rows = H * (nx * nx + nx * nu + 2 * ns * ns     # A, B, G, M
+                + 2 * nx + nu + nx                  # mx, c, mu, dX
+                + nu + nx                           # dU, dLam
+                + nu * nx + nu + nx * nx + 2 * nx)  # K, k, Pbar, pbar, Mxu
     return rows * 4096 < _VMEM_BUDGET
 
 
-def _sweep_kernel(H, nx, A_ref, B_ref, G_ref, M_ref, mx_ref, mu_ref, c_ref,
-                  delta_ref, dX_ref, dU_ref, dLam_ref, ok_ref,
+def _sweep_kernel(H, nx, nu, A_ref, B_ref, G_ref, M_ref, mx_ref, mu_ref,
+                  c_ref, delta_ref, dX_ref, dU_ref, dLam_ref, ok_ref,
                   Kc, kc, Pbarc, pbarc, Mxuc):
     """One 1024-problem tile; every variable below is an (8, 128) tile.
 
     Ref row layouts (leading axis; trailing dims are (1, 8, 128)):
-      A: (t, i, j) -> t*nx*nx + i*nx + j         G/M: t*ns*ns + i*ns + j
-      mx/c: t*nx + i     mu: t      scratch K: t*nx + j, k: t,
-      Pbar: t*nx*nx + i*nx + j, pbar: t*nx + i, Mxu: t*nx + i
+      A: t*nx*nx + i*nx + j      B: t*nx*nu + i*nu + a
+      G/M: t*ns*ns + i*ns + j    mx/c: t*nx + i     mu: t*nu + a
+      scratch  K: t*nu*nx + a*nx + j,  k: t*nu + a,
+               Pbar: t*nx*nx + i*nx + j, pbar: t*nx + i,
+               Mxu: t*nx*nu + i*nu + a
     """
-    ns = nx + 1
+    ns = nx + nu
 
-    def a(t, i, j):
+    def a_(t, i, j):
         return A_ref[t * nx * nx + i * nx + j, 0]
 
-    def b(t, i):
-        return B_ref[t * nx + i, 0]
+    def b_(t, i, al):
+        return B_ref[t * nx * nu + i * nu + al, 0]
 
-    def g(t, i, j):
+    def g_(t, i, j):
         return G_ref[t * ns * ns + i * ns + j, 0]
 
-    def m(t, i, j):
+    def m_(t, i, j):
         return M_ref[t * ns * ns + i * ns + j, 0]
 
     delta = delta_ref[0, 0]
     zero = jnp.zeros_like(delta)
+
+    def chol_solve(Q, rhss):
+        """Unrolled tile-wise Cholesky of the nu×nu matrix-of-tiles Q and
+        forward/back substitution for each rhs (list of nu tiles).
+        Returns (solutions, ok_mask)."""
+        L = [[zero for _ in range(nu)] for _ in range(nu)]
+        inv_d = [zero] * nu
+        okm = jnp.ones_like(delta)
+        for i in range(nu):
+            s = Q[i][i] - sum(L[i][q] * L[i][q] for q in range(i))
+            okm = okm * jnp.where(s > 1e-12, 1.0, 0.0)
+            s_safe = jnp.where(s > 1e-12, s, 1.0)
+            L[i][i] = jnp.sqrt(s_safe)
+            inv_d[i] = 1.0 / L[i][i]
+            for j in range(i + 1, nu):
+                L[j][i] = (Q[j][i] - sum(L[j][q] * L[i][q]
+                                         for q in range(i))) * inv_d[i]
+        sols = []
+        for rhs in rhss:
+            y = [zero] * nu
+            for i in range(nu):
+                y[i] = (rhs[i] - sum(L[i][q] * y[q]
+                                     for q in range(i))) * inv_d[i]
+            x = [zero] * nu
+            for i in range(nu - 1, -1, -1):
+                x[i] = (y[i] - sum(L[q][i] * x[q]
+                                   for q in range(i + 1, nu))) * inv_d[i]
+            sols.append(x)
+        return sols, okm
 
     # ---- backward sweep (unrolled, t = H-1 .. 0) ----
     P = [[zero for _ in range(nx)] for _ in range(nx)]
@@ -76,64 +112,81 @@ def _sweep_kernel(H, nx, A_ref, B_ref, G_ref, M_ref, mx_ref, mu_ref, c_ref,
     ok = jnp.ones_like(delta)
 
     for t in range(H - 1, -1, -1):
-        Pbar = [[P[i][j] + m(t, i, j) + (delta if i == j else zero)
+        Pbar = [[P[i][j] + m_(t, i, j) + (delta if i == j else zero)
                  for j in range(nx)] for i in range(nx)]
         pbar = [p[i] + mx_ref[t * nx + i, 0] for i in range(nx)]
-        Mxu = [m(t, i, nx) for i in range(nx)]
+        Mxu = [[m_(t, i, nx + al) for al in range(nu)] for i in range(nx)]
 
-        PA = [[sum(Pbar[i][k] * a(t, k, j) for k in range(nx))
+        PA = [[sum(Pbar[i][k] * a_(t, k, j) for k in range(nx))
                for j in range(nx)] for i in range(nx)]
-        PB = [sum(Pbar[i][k] * b(t, k) for k in range(nx))
-              for i in range(nx)]
-        Qxx = [[sum(a(t, k, i) * PA[k][j] for k in range(nx)) + g(t, i, j)
+        PB = [[sum(Pbar[i][k] * b_(t, k, al) for k in range(nx))
+               for al in range(nu)] for i in range(nx)]
+        Qxx = [[sum(a_(t, k, i) * PA[k][j] for k in range(nx)) + g_(t, i, j)
                 for j in range(nx)] for i in range(nx)]
-        BtMxu = sum(b(t, k) * Mxu[k] for k in range(nx))
-        Quu = (sum(b(t, k) * PB[k] for k in range(nx))
-               + m(t, nx, nx) + delta + 2.0 * BtMxu + g(t, nx, nx))
-        Qux = [sum(b(t, k) * PA[k][j] for k in range(nx))
-               + sum(Mxu[k] * a(t, k, j) for k in range(nx))
-               + g(t, nx, j) for j in range(nx)]
+        BtMxu = [[sum(b_(t, k, al) * Mxu[k][be] for k in range(nx))
+                  for be in range(nu)] for al in range(nu)]
+        Quu = [[sum(b_(t, k, al) * PB[k][be] for k in range(nx))
+                + m_(t, nx + al, nx + be)
+                + (delta if al == be else zero)
+                + BtMxu[al][be] + BtMxu[be][al]
+                + g_(t, nx + al, nx + be)
+                for be in range(nu)] for al in range(nu)]
+        Qux = [[sum(b_(t, k, al) * PA[k][j] for k in range(nx))
+                + sum(Mxu[k][al] * a_(t, k, j) for k in range(nx))
+                + g_(t, nx + al, j) for j in range(nx)]
+               for al in range(nu)]
         Pc_p = [sum(Pbar[i][k] * c_ref[t * nx + k, 0] for k in range(nx))
                 + pbar[i] for i in range(nx)]
-        qx = [sum(a(t, k, i) * Pc_p[k] for k in range(nx))
+        qx = [sum(a_(t, k, i) * Pc_p[k] for k in range(nx))
               for i in range(nx)]
-        qu = (sum(b(t, k) * Pc_p[k] for k in range(nx))
-              + sum(Mxu[k] * c_ref[t * nx + k, 0] for k in range(nx))
-              + mu_ref[t, 0])
+        qu = [sum(b_(t, k, al) * Pc_p[k] for k in range(nx))
+              + sum(Mxu[k][al] * c_ref[t * nx + k, 0] for k in range(nx))
+              + mu_ref[t * nu + al, 0] for al in range(nu)]
 
-        ok = ok * jnp.where(Quu > 1e-12, 1.0, 0.0)
-        inv = jnp.where(Quu > 1e-12, 1.0 / jnp.where(Quu > 1e-12, Quu, 1.0),
-                        0.0)
-        K = [-inv * Qux[j] for j in range(nx)]
-        kk = -inv * qu
+        # gains: solve Quu [K | k] = [Qux | qu]
+        rhss = [[Qux[al][j] for al in range(nu)] for j in range(nx)]
+        rhss.append([qu[al] for al in range(nu)])
+        sols, okm = chol_solve(Quu, rhss)
+        ok = ok * okm
+        K = [[-sols[j][al] for j in range(nx)] for al in range(nu)]
+        kk = [-sols[nx][al] for al in range(nu)]
 
         # persist per-stage tensors for the forward pass
-        for j in range(nx):
-            Kc[t * nx + j, 0] = K[j]
-        kc[t, 0] = kk
+        for al in range(nu):
+            for j in range(nx):
+                Kc[t * nu * nx + al * nx + j, 0] = K[al][j]
+            kc[t * nu + al, 0] = kk[al]
         for i in range(nx):
             pbarc[t * nx + i, 0] = pbar[i]
-            Mxuc[t * nx + i, 0] = Mxu[i]
+            for al in range(nu):
+                Mxuc[t * nx * nu + i * nu + al, 0] = Mxu[i][al]
             for j in range(nx):
                 Pbarc[t * nx * nx + i * nx + j, 0] = Pbar[i][j]
 
-        P_new = [[Qxx[i][j] + Qux[i] * K[j] for j in range(nx)]
-                 for i in range(nx)]
+        P_new = [[Qxx[i][j] + sum(Qux[al][i] * K[al][j] for al in range(nu))
+                  for j in range(nx)] for i in range(nx)]
         P = [[0.5 * (P_new[i][j] + P_new[j][i]) for j in range(nx)]
              for i in range(nx)]
-        p = [qx[i] + Qux[i] * kk for i in range(nx)]
+        p = [qx[i] + sum(Qux[al][i] * kk[al] for al in range(nu))
+             for i in range(nx)]
 
     # ---- forward sweep ----
     dx = [zero for _ in range(nx)]
     for t in range(H):
-        du = sum(Kc[t * nx + j, 0] * dx[j] for j in range(nx)) + kc[t, 0]
-        dxn = [sum(a(t, i, j) * dx[j] for j in range(nx))
-               + b(t, i) * du + c_ref[t * nx + i, 0] for i in range(nx)]
+        du = [sum(Kc[t * nu * nx + al * nx + j, 0] * dx[j]
+                  for j in range(nx)) + kc[t * nu + al, 0]
+              for al in range(nu)]
+        dxn = [sum(a_(t, i, j) * dx[j] for j in range(nx))
+               + sum(b_(t, i, al) * du[al] for al in range(nu))
+               + c_ref[t * nx + i, 0] for i in range(nx)]
         dlam = [sum(Pbarc[t * nx * nx + i * nx + j, 0] * dxn[j]
                     for j in range(nx))
-                + Mxuc[t * nx + i, 0] * du + pbarc[t * nx + i, 0]
+                + sum(Mxuc[t * nx * nu + i * nu + al, 0] * du[al]
+                      for al in range(nu))
+                + pbarc[t * nx + i, 0]
                 for i in range(nx)]
-        dU_ref[t, 0] = du
+        for al in range(nu):
+            dU_ref[t * nu + al, 0] = du[al]
         for i in range(nx):
             dX_ref[t * nx + i, 0] = dxn[i]
             dLam_ref[t * nx + i, 0] = dlam[i]
@@ -173,25 +226,25 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
         return pl.BlockSpec((rows, 1, 8, 128), lambda g: (0, g, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [spec(H * nx * nx), spec(H * nx), spec(H * ns * ns),
-                spec(H * ns * ns), spec(H * nx), spec(H), spec(H * nx),
-                spec(1)]
-    out_specs = [spec(H * nx), spec(H), spec(H * nx), spec(1)]
+    in_specs = [spec(H * nx * nx), spec(H * nx * nu), spec(H * ns * ns),
+                spec(H * ns * ns), spec(H * nx), spec(H * nu),
+                spec(H * nx), spec(1)]
+    out_specs = [spec(H * nx), spec(H * nu), spec(H * nx), spec(1)]
     out_shape = [
         jax.ShapeDtypeStruct((H * nx, Gt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((H, Gt, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((H * nu, Gt, 8, 128), jnp.float32),
         jax.ShapeDtypeStruct((H * nx, Gt, 8, 128), jnp.float32),
         jax.ShapeDtypeStruct((1, Gt, 8, 128), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((H * nx, 1, 8, 128), jnp.float32),   # K
-        pltpu.VMEM((H, 1, 8, 128), jnp.float32),        # k
-        pltpu.VMEM((H * nx * nx, 1, 8, 128), jnp.float32),  # Pbar
-        pltpu.VMEM((H * nx, 1, 8, 128), jnp.float32),   # pbar
-        pltpu.VMEM((H * nx, 1, 8, 128), jnp.float32),   # Mxu
+        pltpu.VMEM((H * nu * nx, 1, 8, 128), jnp.float32),   # K
+        pltpu.VMEM((H * nu, 1, 8, 128), jnp.float32),        # k
+        pltpu.VMEM((H * nx * nx, 1, 8, 128), jnp.float32),   # Pbar
+        pltpu.VMEM((H * nx, 1, 8, 128), jnp.float32),        # pbar
+        pltpu.VMEM((H * nx * nu, 1, 8, 128), jnp.float32),   # Mxu
     ]
 
-    kernel = functools.partial(_sweep_kernel, H, nx)
+    kernel = functools.partial(_sweep_kernel, H, nx, nu)
     dX, dU, dLam, okm = pl.pallas_call(
         kernel,
         grid=(Gt,),

@@ -68,7 +68,8 @@ def test_kernel_ok_flag_on_negative_curvature():
 
 def test_fits_predicate():
     assert _kernel_fits(20, 2, 1)          # LV bench config
-    assert not _kernel_fits(20, 2, 4)      # nu > 1 unsupported
+    assert _kernel_fits(20, 2, 4)          # small multi-input fits too
+    assert not _kernel_fits(20, 2, 5)      # nu cap
     assert not _kernel_fits(200, 12, 1)    # too big for VMEM
 
 
@@ -80,3 +81,12 @@ def test_custom_vmap_fallback_on_cpu():
     ref = jax.vmap(riccati_sweep_ref)(*args)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                atol=1e-5)
+
+
+def test_kernel_nu3_interpret():
+    args = make_data(B=2, H=3, nx=3, nu=3, seed=2)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    for r, o in zip(ref[:3], out[:3]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+    assert bool(jnp.all(ref[3] == out[3]))
