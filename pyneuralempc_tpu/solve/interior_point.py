@@ -83,6 +83,8 @@ class IPConfig:
     hessian: str = "exact"         # "exact" | "objective" | "gauss_newton"
     gn_reg: float = 1e-6           # curvature floor for non-exact modes
     kkt: str = "auto"              # "auto" | "dense" | "riccati"
+    auto_scale: bool = True        # Ipopt-style objective gradient scaling
+    scale_gmax: float = 100.0      # target max gradient after scaling
     debug: bool = False            # per-iteration jax.debug.print trace
     record: bool = False           # return per-iteration history arrays
 
@@ -136,6 +138,19 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     a single solve or ``jax.vmap`` + ``jit`` for batched solves.
     """
     cfg = config
+    orig_nlp = nlp
+    if cfg.auto_scale:
+        # Ipopt gradient-based objective scaling (its
+        # nlp_scaling_method="gradient-based"): J is scaled so its initial
+        # gradient has max magnitude <= scale_gmax, which keeps the f32
+        # dual residual well-conditioned for raw-unit problems (states
+        # ~O(50) etc.).  The factor rides in rt["_s_obj"]; the Riccati
+        # backend reads it too.
+        nlp = NLP(spec=nlp.spec, n=nlp.n, m=nlp.m,
+                  objective=lambda w, rt: (rt.get("_s_obj", 1.0)
+                                           * orig_nlp.objective(w, rt)),
+                  constraints=nlp.constraints, lower=nlp.lower,
+                  upper=nlp.upper, pack=nlp.pack, unpack=nlp.unpack)
     n, m = nlp.n, nlp.m
     lb, ub = nlp.lower, nlp.upper
     dtype = lb.dtype
@@ -438,6 +453,12 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # for everything inside the solver; models that want bf16 compute
         # opt in explicitly via their own preferred_element_type.
         with jax.default_matmul_precision("float32"):
+            if cfg.auto_scale:
+                g0 = jax.grad(orig_nlp.objective)(w0.astype(dtype), rt)
+                gnorm = jnp.max(jnp.abs(g0))
+                s_obj = cfg.scale_gmax / jnp.maximum(gnorm, cfg.scale_gmax)
+                rt = dict(rt)
+                rt["_s_obj"] = s_obj
             state = init_state(rt, w0, lam0, zl0, zu0, mu0)
 
             def cond(s):
@@ -450,7 +471,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                 def body(s, _):
                     s2 = iteration(s, rt)
                     rec = {"kkt_error": s2.kkt_error, "mu": s2.mu,
-                           "objective": nlp.objective(s2.w, rt),
+                           "objective": orig_nlp.objective(s2.w, rt),
                            "theta": theta(s2.w, rt), "done": s2.done}
                     return s2, rec
                 state, trace = jax.lax.scan(body, state, None,
@@ -471,7 +492,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                           zu=state.zu, mu=state.mu, converged=converged,
                           iterations=state.it,
                           kkt_error=jnp.minimum(err, state.kkt_error),
-                          objective=nlp.objective(state.w, rt))
+                          objective=orig_nlp.objective(state.w, rt))
         if cfg.record:
             return result, trace
         return result

@@ -165,6 +165,10 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         tvp = rt["tvp"]
         p, params = rt["p"], rt.get("params")
 
+        # remat: the second-derivative passes through Φ (4 model calls for
+        # rk4) dominate peak memory at fleet scales; recompute instead of
+        # storing the per-stage forward intermediates.
+        @jax.checkpoint
         def per_stage(x_t, u_t, lam_row, tvp_t):
             f = lambda xu: phi1(xu[:nx], xu[nx:], p, tvp_t, params)
             xu = jnp.concatenate([x_t, u_t])
@@ -190,6 +194,11 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
                 lambda xH: (stage_cost.terminal(xH, p) if p is not None
                             else stage_cost.terminal(xH)))(X[-1])
             M = M.at[-1, :nx, :nx].add(term_h)
+        # objective auto-scaling (see interior_point.make_solver): the
+        # cost curvature must match the scaled gradient in r_tilde.
+        s_obj = rt.get("_s_obj")
+        if s_obj is not None:
+            M = M * s_obj
         return A, B, G, M
 
     def direction(w, lam, rt, Sigma, r_tilde, c_full):
