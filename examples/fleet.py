@@ -80,6 +80,8 @@ def main():
           f"converged {int(res.converged.sum())}/{B}")
 
     # receding horizon: plant = plan head (perfect-model fleet rollout)
+    carry, res = runner.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)       # warm-path compile, untimed
     t0 = time.perf_counter()
     for _ in range(args.steps):
         carry, res = runner.next_batch(res.x[:, 0], carry=carry)

@@ -25,9 +25,8 @@ Everything returned is a pure function of ``(w, rt)`` where ``rt`` is the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,7 +13,7 @@ Dense stacks saved by tf.keras, weights under ``model_weights/<layer>/
 from __future__ import annotations
 
 import json
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ on the hot path) with bf16-able matmuls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ helper: stack the measured history into z₀.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax.numpy as jnp
 

@@ -25,9 +25,7 @@ reference (``rk4.py:57-83`` passes the same tvp to every k).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
-import jax.numpy as jnp
+from typing import Callable
 
 
 def _delta(model, dt, x, u, p, tvp, params):

@@ -16,7 +16,7 @@ Two distinct uses of the integrator:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Built on ``shard_map`` over a 2-D ``(scenario, horizon)`` mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

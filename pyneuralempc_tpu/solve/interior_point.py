@@ -44,7 +44,7 @@ flow — SURVEY §7 "fixed-shape discipline").
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

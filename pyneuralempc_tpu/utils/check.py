@@ -11,7 +11,7 @@ the reference's safety-check role (SURVEY §4) as a real tool.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
