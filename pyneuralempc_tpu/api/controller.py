@@ -238,6 +238,51 @@ class NMPC:
                 jax.vmap(self._step, in_axes=(0, axes)))
         return self._batch_cache[key](carry, rt)
 
+    def next_multi_start(self, x0, n_starts: int = 8, noise: float = 0.3,
+                         p=None, tvp=None, params=None, key=None
+                         ) -> NMPCResult:
+        """Multi-start solve for nonconvex problems: n_starts copies of the
+        problem with randomly perturbed control initialisations solve as
+        one batch; the best converged local optimum wins.
+
+        The reference example retries from random inits on failure in a
+        Python loop (``run.py:132-141``); here the restarts are just more
+        batch — they cost one batched solve.
+        """
+        key = jax.random.PRNGKey(0) if key is None else key
+        x0 = jnp.asarray(x0)
+        dims = self.spec.dims
+        keys = jax.random.split(key, n_starts)
+
+        # carries with randomly perturbed control initialisations
+        def carry_for(k):
+            du = noise * jax.random.normal(k, (self.H, dims.u))
+            base = self.cold_start(x0, p=p, tvp=tvp, params=params)
+            X, U, s = self.nlp.unpack(base.w)
+            return base._replace(w=self.nlp.pack(X, U + du, s))
+
+        carries = jax.vmap(carry_for)(keys)
+        x0s = jnp.broadcast_to(x0, (n_starts,) + x0.shape)
+        rt = runtime(x0s, p, tvp, params)
+        axes = {"x0": 0, "p": _baxis(p, 1), "tvp": _baxis(tvp, 2),
+                "params": None}
+        kk = ("ms", axes["p"], axes["tvp"])
+        if kk not in self._batch_cache:
+            self._batch_cache[kk] = jax.jit(
+                jax.vmap(self._step, in_axes=(0, axes)))
+        _, res = self._batch_cache[kk](carries, rt)
+        # best = lowest objective among converged (fall back to lowest kkt)
+        obj = jnp.where(res.converged, res.objective, jnp.inf)
+        any_conv = jnp.any(res.converged)
+        idx = jnp.where(any_conv, jnp.argmin(obj),
+                        jnp.argmin(res.kkt_error))
+        return NMPCResult(x=res.x[idx], u=res.u[idx],
+                          converged=res.converged[idx],
+                          iterations=res.iterations[idx],
+                          kkt_error=res.kkt_error[idx],
+                          objective=res.objective[idx],
+                          slack=res.slack[idx])
+
     # ---- validation (reference controller.py:67-84 semantics) ----
 
     def _check(self, x0, p, tvp, init_x, init_u):

@@ -179,6 +179,11 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         tvp_ax = None if tvp is None else 0
         A, B, G = jax.vmap(per_stage, in_axes=(0, 0, 0, tvp_ax))(
             xprev, U, lam_t, tvp)
+        if cfg.hessian != "exact":
+            # Gauss-Newton / objective-only curvature: drop the defect
+            # second-order terms (same semantics as the dense backend's
+            # non-exact modes).
+            G = jnp.zeros_like(G)
 
         def cost_stage(x_n, u_t, tvp_t):
             return _call_user_fn(stage_cost.stage, x_n, u_t, p, tvp_t)

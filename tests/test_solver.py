@@ -195,3 +195,45 @@ def test_warm_start_faster():
     r2 = mpc.next(jnp.array([0.31, 0.21]))   # nearby state, warm carry
     assert bool(r2.converged)
     assert int(r2.iterations) <= int(r1.iterations)
+
+
+def test_multi_start_cartpole_escapes_saddle():
+    """Multi-start finds the swing-up solution where a single cold start
+    from the symmetric hanging state stalls at the saddle."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/examples")
+    from cartpole import cartpole_f
+
+    model = nempc.jax_dynamics(cartpole_f(), x_dim=4, u_dim=1)
+    cost = nempc.StageCost(
+        stage=lambda x, u: 3.0 * (1.0 - jnp.cos(x[2])) + 0.1 * x[0] ** 2
+        + 0.05 * x[1] ** 2 + 0.05 * x[3] ** 2 + 0.01 * jnp.sum(u ** 2),
+        terminal=lambda x: 30.0 * (1.0 - jnp.cos(x[2])) + 5.0 * x[3] ** 2)
+    box = nempc.DomainConstraint(
+        states_constraint=[[-2.0, 2.0], [-6.0, 6.0],
+                           [-2 * np.pi, 2 * np.pi], [-12.0, 12.0]],
+        control_constraint=[[-10.0, 10.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=40, DT=0.05, integrator="rk4",
+                     config=IPConfig(max_iter=120))
+    x0 = jnp.array([0.0, 0.0, np.pi, 0.0])    # exact saddle
+    single = mpc.next(x0)
+    mpc.reset()
+    multi = mpc.next_multi_start(x0, n_starts=8, noise=1.0,
+                                 key=jax.random.PRNGKey(3))
+    # the multi-start objective must beat the saddle's objective
+    assert float(multi.objective) < float(single.objective) - 1.0
+
+
+def test_multi_start_matches_single_on_convex():
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4")
+    x0 = jnp.array([0.3, 0.2])
+    single = mpc.next(x0)
+    mpc.reset()
+    multi = mpc.next_multi_start(x0, n_starts=4, noise=0.1)
+    assert bool(multi.converged)
+    np.testing.assert_allclose(np.asarray(multi.u), np.asarray(single.u),
+                               atol=5e-4)
