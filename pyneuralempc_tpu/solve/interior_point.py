@@ -75,8 +75,7 @@ class IPConfig:
     kappa_sigma: float = 1e10      # dual safeguard corridor
     bound_push: float = 1e-2       # κ₁: initial interior push
     ls_backtracks: int = 8         # line-search fan size
-  # candidate j uses α_max · ls_factor**j
-    ls_factor: float = 0.5
+    ls_factor: float = 0.5         # candidate j uses α_max · ls_factor**j
     armijo_eta: float = 1e-4
     delta_c: float = 1e-8          # dual regularisation
     nu_init: float = 1.0           # merit penalty initial value
