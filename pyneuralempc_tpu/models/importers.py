@@ -25,8 +25,8 @@ _KERAS_ACTS = {"tanh": "tanh", "relu": "relu", "linear": "linear",
 
 
 def load_keras_h5(path: str, x_dim: int, u_dim: int, p_dim: int = 0,
-                  tvp_dim: int = 0,
-                  compute_dtype=None) -> Tuple[MLPDynamics, list]:
+                  tvp_dim: int = 0, compute_dtype=None,
+                  out_dim: int = None) -> Tuple[MLPDynamics, list]:
     """Load a tf.keras Sequential-of-Dense .h5 into (MLPDynamics, params).
 
     Validates input/output dims against the declared state/control split
@@ -60,7 +60,7 @@ def load_keras_h5(path: str, x_dim: int, u_dim: int, p_dim: int = 0,
             params.append({"w": jnp.asarray(W), "b": jnp.asarray(b)})
 
     return _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype,
-                 name=f"keras:{path.rsplit('/', 1)[-1]}")
+                 name=f"keras:{path.rsplit('/', 1)[-1]}", out_dim=out_dim)
 
 
 def load_torch_mlp(state_dict, x_dim: int, u_dim: int, p_dim: int = 0,
@@ -91,18 +91,21 @@ def load_torch_mlp(state_dict, x_dim: int, u_dim: int, p_dim: int = 0,
                  name="torch_mlp")
 
 
-def _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype, name):
+def _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype, name,
+          out_dim=None):
     import jax.numpy as jnp
     from .mlp import mlp_apply
 
     in_dim = params[0]["w"].shape[0]
-    out_dim = params[-1]["w"].shape[1]
+    got_out = params[-1]["w"].shape[1]
+    expected_out = x_dim if out_dim is None else out_dim
     expected_in = x_dim + u_dim + tvp_dim + p_dim
     if in_dim != expected_in:
         raise ValueError(
             f"model input dim {in_dim} != x+u+tvp+p dims {expected_in}")
-    if out_dim != x_dim:
-        raise ValueError(f"model output dim {out_dim} != x_dim {x_dim}")
+    if got_out != expected_out:
+        raise ValueError(
+            f"model output dim {got_out} != expected {expected_out}")
     for a, b in zip(params[:-1], params[1:]):
         if a["w"].shape[1] != b["w"].shape[0]:
             raise ValueError("inconsistent layer shapes in imported model")
@@ -125,3 +128,27 @@ def _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype, name):
                         activation=acts[0] if acts else "linear",
                         compute_dtype=cdt)
     return model, params
+
+
+def load_keras_h5_rolling(path: str, x_dim: int, u_dim: int, window: int,
+                          mode: str = "delta", compute_dtype=None):
+    """Load a Keras net that consumes a rolling window of states plus the
+    current control (the reference's ``KerasTFModelRollingInput``,
+    ``model/tensorflow.py:112-174``) into a lifted rolling-window model.
+
+    Expected net input dim: window*x_dim + u_dim; output dim: x_dim.
+    Returns (RollingWindow, params).
+    """
+    from .rolling import rolling_window
+
+    mlp_model, params = load_keras_h5(path, x_dim=window * x_dim,
+                                      u_dim=u_dim,
+                                      compute_dtype=compute_dtype,
+                                      out_dim=x_dim)
+
+    def inner_fn(z, u, p, tvp, prm):
+        return mlp_model.fn(z, u, p, tvp, prm)
+
+    rw = rolling_window(inner_fn, x_dim=x_dim, u_dim=u_dim, window=window,
+                        mode=mode, name=f"keras_rolling:{path}")
+    return rw, params

@@ -129,3 +129,43 @@ def test_rolling_window_one_equals_plain():
     u = jnp.zeros((3, 2))
     np.testing.assert_allclose(np.asarray(rw.model(z, u)),
                                np.asarray(z - 0.5 * z))
+
+
+def _write_fake_keras_h5(path, sizes, acts):
+    """Minimal tf.keras-format .h5 writer (model_config attr + weights)."""
+    import h5py
+    import json
+    rng = np.random.default_rng(0)
+    layers = []
+    for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+        name = "dense" if i == 0 else f"dense_{i}"
+        layers.append({"class_name": "Dense",
+                       "config": {"name": name, "activation": acts[i]}})
+    cfg = {"class_name": "Sequential", "config": {"layers": layers}}
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+            name = "dense" if i == 0 else f"dense_{i}"
+            g = w.create_group(name).create_group(name)
+            g.create_dataset("kernel:0",
+                             data=rng.normal(0, 0.3, (fi, fo)).astype("f4"))
+            g.create_dataset("bias:0", data=np.zeros(fo, "f4"))
+
+
+def test_keras_rolling_import(tmp_path):
+    from pyneuralempc_tpu.models.importers import load_keras_h5_rolling
+    path = str(tmp_path / "rollnet.h5")
+    _write_fake_keras_h5(path, (3, 8, 1), ("tanh", "linear"))
+    rw, params = load_keras_h5_rolling(path, x_dim=1, u_dim=1, window=2)
+    z = jnp.ones((4, 2))
+    u = jnp.ones((4, 1))
+    out = rw.model(z, u, params=params)
+    assert out.shape == (4, 2)          # lifted: [new head, shifted]
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 1.0)  # shift reg
+
+
+def test_keras_rolling_import_rejects_mismatch():
+    from pyneuralempc_tpu.models.importers import load_keras_h5_rolling
+    with pytest.raises(ValueError):
+        load_keras_h5_rolling(REF_H5, x_dim=1, u_dim=1, window=2)
