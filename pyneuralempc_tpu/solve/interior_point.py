@@ -363,7 +363,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl), jnp.min(a_zu)))
 
         # --- merit line search on a fixed fan of step lengths ---
-        th0 = theta(w, rt)
+        # (θ at the current point comes from the already-evaluated c)
+        th0 = jnp.minimum(jnp.nan_to_num(jnp.sum(jnp.abs(c)), nan=_BIG),
+                          _BIG)
         nu = jnp.clip(jnp.maximum(nu, 1.1 * jnp.max(jnp.abs(lam + dlam)) + 1.0),
                       cfg.nu_init, 1e5)
         phi0 = barrier_value(w, rt, mu)
