@@ -108,3 +108,47 @@ def test_interval_path_constraint_slack_bounds(model):
     nlp = transcribe(make_spec(model, path=[inter]))
     np.testing.assert_allclose(nlp.lower[2 * H:], -0.5)
     np.testing.assert_allclose(nlp.upper[2 * H:], 0.75)
+
+
+def test_multiple_slacked_constraints_offsets(model):
+    """Two slacked constraints + an EQ: slack offsets and row order."""
+    H = 3
+    ineq = nempc.inequality_constraint(lambda x, u: x.reshape(-1), H)
+    inter = nempc.interval_constraint(lambda x, u: u.reshape(-1), H,
+                                      -0.25, 0.5)
+    eq = nempc.equality_constraint(lambda x, u: (x - u).reshape(-1)[:1], 1)
+    nlp = transcribe(make_spec(model, path=[ineq, inter, eq], H=H))
+    assert nlp.n == 2 * H + H + H          # primal + 2 slack groups
+    assert nlp.m == H + H + H + 1          # defects + rows of each pc
+    # slack bound layout: [ineq slacks (0, inf) | interval slacks]
+    np.testing.assert_allclose(nlp.lower[2 * H: 3 * H], 0.0)
+    np.testing.assert_allclose(nlp.lower[3 * H:], -0.25)
+    np.testing.assert_allclose(nlp.upper[3 * H:], 0.5)
+    # residual wiring: g - s must appear in the right rows
+    X = jnp.arange(1.0, 4.0).reshape(H, 1)
+    U = 0.1 * jnp.ones((H, 1))
+    s = jnp.concatenate([10.0 * jnp.ones(H), 20.0 * jnp.ones(H)])
+    w = nlp.pack(X, U, s)
+    c = np.asarray(nlp.constraints(w, nempc.runtime(jnp.zeros(1))))
+    np.testing.assert_allclose(c[H: 2 * H],
+                               np.asarray(X).ravel() - 10.0, rtol=1e-6)
+    np.testing.assert_allclose(c[2 * H: 3 * H],
+                               np.asarray(U).ravel() - 20.0, rtol=1e-6)
+    np.testing.assert_allclose(c[3 * H], float(X[0, 0] - U[0, 0]), rtol=1e-6)
+
+
+def test_mixed_eq_ineq_rows_in_one_constraint(model):
+    """A single PathConstraint with mixed EQ and slack rows."""
+    H = 2
+    pc = nempc.PathConstraint(
+        fn=lambda x, u: jnp.concatenate([x[:1, 0], u[:, 0]]),
+        dim=3, lb=(1.5, 0.0, 0.0), ub=(1.5, float("inf"), float("inf")))
+    nlp = transcribe(make_spec(model, path=[pc], H=H))
+    assert nlp.n == 2 * H + 2              # two non-EQ rows get slacks
+    X = jnp.array([[1.5], [0.0]])
+    U = jnp.array([[0.3], [0.4]])
+    s = jnp.array([0.3, 0.4])
+    w = nlp.pack(X, U, s)
+    c = np.asarray(nlp.constraints(w, nempc.runtime(jnp.zeros(1))))
+    # EQ row: g - lb = 0; slack rows: g - s = 0
+    np.testing.assert_allclose(c[2 * H:], 0.0, atol=1e-6)
