@@ -41,6 +41,7 @@ from .utils.checkpoint import load_pytree, save_pytree
 from .utils.check import check_model, check_problem
 from .solve.interior_point import IPConfig, IPResult, make_solver
 from .solve.alm import ALMConfig, make_alm_solver
+from .solve.diff import make_differentiable_solver
 from .api.controller import NMPC, NMPCResult, WarmStart
 
 # Reference-compatible alias (pyNeuralEMPC.constraints.DomainConstraint).
@@ -56,6 +57,7 @@ __all__ = [
     "rolling_window", "load_keras_h5", "load_torch_mlp", "GRUDynamics",
     "gru_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
     "check_model", "check_problem", "IPConfig", "IPResult",
-    "make_solver", "ALMConfig", "make_alm_solver", "NMPC", "NMPCResult",
+    "make_solver", "ALMConfig", "make_alm_solver", "make_differentiable_solver",
+    "NMPC", "NMPCResult",
     "WarmStart",
 ]
