@@ -85,7 +85,7 @@ class NMPC:
 
     def __init__(self, model, objective, constraints=(), H: int = 10,
                  DT: float = 0.1, integrator: str = "rk4",
-                 config: IPConfig = IPConfig()):
+                 config: IPConfig = IPConfig(), differentiable: bool = False):
         box, path = _split_constraints(constraints)
         if box is None:
             box = Box.unbounded(model.dims.x, model.dims.u)
@@ -117,7 +117,15 @@ class NMPC:
                 raise ValueError(f"unknown kkt backend {config.kkt!r}")
             self.kkt_backend = (config.kkt if config.kkt.startswith("riccati")
                                 else ("riccati" if direction else "dense"))
-            self._solve = make_solver(self.nlp, config, direction=direction)
+            if differentiable:
+                # gradients flow through step()/next_batch() results via
+                # the implicit function theorem (solve/diff.py)
+                from ..solve.diff import make_differentiable_solver
+                self._solve = make_differentiable_solver(
+                    self.nlp, config, direction=direction)
+            else:
+                self._solve = make_solver(self.nlp, config,
+                                          direction=direction)
         self.H, self.DT = H, DT
         self.model = model
 

@@ -88,3 +88,25 @@ def test_grad_wrt_params_trains_through_mpc():
     stepped = jax.tree_util.tree_map(lambda a, b: a - 0.05 * b, params, g)
     l1 = float(loss(stepped))
     assert l1 < float(l0)
+
+
+def test_controller_differentiable_flag():
+    """NMPC(differentiable=True): grad of a plan functional wrt x0 via the
+    pure step() API."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = StageCost(stage=lambda x, u: 1.1 * jnp.sum(u)
+                     + 0.2 * jnp.sum(x ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=6, DT=0.1, integrator="rk4",
+                     config=IPConfig(max_iter=60, tol=1e-6),
+                     differentiable=True)
+
+    def loss(x0):
+        carry = mpc.cold_start(jax.lax.stop_gradient(x0))
+        _, res = mpc._step(carry, nempc.runtime(x0))
+        return jnp.sum(res.u ** 2)
+
+    g = jax.grad(loss)(jnp.array([0.3, 0.2]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
