@@ -36,7 +36,7 @@ def main():
     from pyneuralempc_tpu.models.train import fit_surrogate, sample_transitions
     from pyneuralempc_tpu.ops.integrators import step_fn
 
-    B = int(os.environ.get("BENCH_BATCH", 1024))
+    B = int(os.environ.get("BENCH_BATCH", 4096))
     STEPS = int(os.environ.get("BENCH_STEPS", 8))
     H, DT = 20, 0.1
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
