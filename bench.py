@@ -9,7 +9,7 @@ between plans) — the serving load of an MPC fleet.  Target (north star):
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 
-Env knobs: BENCH_BATCH (default 1024), BENCH_STEPS (timed re-plan steps,
+Env knobs: BENCH_BATCH (default 4096), BENCH_STEPS (timed re-plan steps,
 default 8), BENCH_CPU=1 to force the CPU backend.
 """
 

@@ -374,18 +374,30 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                     + jnp.where(has_ub, mu / su, 0.0))
         D = jnp.dot(grad_phi, dw) - nu * th0
 
-        alphas = alpha_pri_max * (cfg.ls_factor
-                                  ** jnp.arange(cfg.ls_backtracks, dtype=dtype))
-
         def merit_at(alpha):
             w_t = w + alpha * dw
             return barrier_value(w_t, rt, mu) + nu * theta(w_t, rt)
 
-        merits = jax.vmap(merit_at)(alphas)
-        accept = merits <= merit0 + cfg.armijo_eta * alphas * jnp.minimum(D, 0.0)
-        any_accept = jnp.any(accept)
-        idx = jnp.where(any_accept, jnp.argmax(accept), cfg.ls_backtracks - 1)
-        alpha = alphas[idx]
+        # Sequential backtracking (identical iterates to evaluating the
+        # whole α_max·factor^j fan, but typically 1-2 merit evaluations —
+        # each one is a full model rollout, so this is the cheapest part
+        # of the iteration that used to cost 8 rollouts).
+        def ls_cond(carry):
+            j, _, accepted = carry
+            return (~accepted) & (j < cfg.ls_backtracks)
+
+        def ls_body(carry):
+            j, a_prev, acc = carry
+            a_j = alpha_pri_max * cfg.ls_factor ** j.astype(dtype)
+            m_j = merit_at(a_j)
+            ok_j = m_j <= merit0 + cfg.armijo_eta * a_j * jnp.minimum(D, 0.0)
+            # freeze members that already accepted (lockstep under vmap)
+            return (j + 1, jnp.where(acc, a_prev, a_j), acc | ok_j)
+
+        _, alpha, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype),
+             jnp.asarray(False)))
 
         w_new = w + alpha * dw
         lam_new = lam + alpha * dlam
