@@ -63,7 +63,10 @@ def main():
     box = nempc.DomainConstraint(
         states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
         control_constraint=[[0.0, 1.2]])
-    mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4")
+    mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4",
+                     config=nempc.IPConfig(tol=1e-5))
+    # tol=1e-5 puts the controls within 1e-4 of the scipy golden (the
+    # north-star match criterion) at ~1 extra IP iteration
     log(f"kkt backend: {mpc.kkt_backend}")
 
     # batch of initial states across the healthy operating region
@@ -83,6 +86,42 @@ def main():
     jax.block_until_ready(carry.w)
     log(f"cold batched solve + compile: {time.perf_counter()-t0:.1f}s  "
         f"converged {int(res.converged.sum())}/{B}")
+
+    # accuracy audit: a few problems re-solved with scipy SLSQP (the
+    # reference's second backend) on the same transcription, in f64
+    try:
+        from scipy.optimize import Bounds, minimize
+
+        nlp = mpc.nlp
+        worst = 0.0
+        for i in range(3):
+            rt_i = nempc.runtime(x0s[i], params=params)
+            obj = jax.jit(lambda w, r=rt_i: nlp.objective(w, r))
+            gobj = jax.jit(jax.grad(lambda w, r=rt_i: nlp.objective(w, r)))
+            con = jax.jit(lambda w, r=rt_i: nlp.constraints(w, r))
+            jcon = jax.jit(jax.jacrev(lambda w, r=rt_i: nlp.constraints(w, r)))
+            as32 = lambda w: jnp.asarray(w, jnp.float32)
+            w0 = np.asarray(mpc.cold_start(x0s[i], params=params).w,
+                            np.float64)
+            r = minimize(lambda w: float(obj(as32(w))), w0, method="SLSQP",
+                         jac=lambda w: np.asarray(gobj(as32(w)), np.float64),
+                         bounds=Bounds(np.asarray(nlp.lower, np.float64),
+                                       np.asarray(nlp.upper, np.float64)),
+                         constraints=[{
+                             "type": "eq",
+                             "fun": lambda w: np.asarray(con(as32(w)),
+                                                         np.float64),
+                             "jac": lambda w: np.asarray(jcon(as32(w)),
+                                                         np.float64)}],
+                         options={"maxiter": 400, "ftol": 1e-10})
+            if r.success:
+                u_gold = r.x[2 * H: 3 * H]
+                worst = max(worst, float(np.max(np.abs(
+                    np.asarray(res.u[i]).ravel() - u_gold))))
+        log(f"accuracy audit vs scipy SLSQP golden (3 problems): "
+            f"max |u - u_gold| = {worst:.2e}")
+    except Exception as e:  # audit must never break the bench
+        log(f"accuracy audit skipped: {type(e).__name__}: {e}")
 
     # steady state: advance plant one step, re-plan warm (this is the loop
     # a deployed fleet runs; first timed call includes the warm-carry
