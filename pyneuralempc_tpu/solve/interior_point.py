@@ -68,6 +68,9 @@ class IPConfig:
     tol: float = 1e-4              # = the reference's acceptable_tol
     mu_init: float = 1e-1
     warm_mu: float = 1e-3          # μ floor when resuming from a warm carry
+    mu_strategy: str = "monotone"  # "monotone" | "adaptive" (LOQO rule) —
+                                   # the reference Ipopt ctor's mu_strategy
+                                   # knob (ipopt.py:117-128)
     kappa_mu: float = 0.2          # linear μ decrease factor
     theta_mu: float = 1.5          # superlinear μ decrease exponent
     kappa_eps: float = 10.0        # μ-phase exit: E_μ <= kappa_eps · μ
@@ -326,14 +329,28 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # --- convergence + barrier update (checked before the step) ---
         err_0 = kkt_error(w, lam, zl, zu, g, ATlam, c, 0.0)
         converged = err_0 <= cfg.tol
-        err_mu = kkt_error(w, lam, zl, zu, g, ATlam, c, mu)
-        shrink = err_mu <= cfg.kappa_eps * mu
-        mu_next = jnp.where(
-            shrink,
-            jnp.maximum(cfg.tol / 10.0,
-                        jnp.minimum(cfg.kappa_mu * mu, mu ** cfg.theta_mu)),
-            mu)
-        mu = mu_next
+        if cfg.mu_strategy == "adaptive":
+            # LOQO centrality rule: μ = σ · avg complementarity, with σ
+            # driven by how uncentered the worst pair is — no extra KKT
+            # solve, typically fewer iterations than monotone on warm
+            # problems.
+            comp = (jnp.where(has_lb, zl * sl, 0.0)
+                    + jnp.where(has_ub, zu * su, 0.0))
+            n_act = jnp.maximum(jnp.sum(has_lb | has_ub), 1).astype(dtype)
+            avg = jnp.sum(comp) / n_act
+            min_c = jnp.min(jnp.where(has_lb | has_ub, comp, jnp.inf))
+            xi = jnp.clip(min_c / jnp.maximum(avg, 1e-12), 1e-6, 1.0)
+            sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / xi, 2.0) ** 3
+            mu = jnp.clip(sigma * avg, cfg.tol / 10.0, cfg.mu_init)
+        else:
+            err_mu = kkt_error(w, lam, zl, zu, g, ATlam, c, mu)
+            shrink = err_mu <= cfg.kappa_eps * mu
+            mu = jnp.where(
+                shrink,
+                jnp.maximum(cfg.tol / 10.0,
+                            jnp.minimum(cfg.kappa_mu * mu,
+                                        mu ** cfg.theta_mu)),
+                mu)
 
         # --- Newton direction on the condensed KKT system ---
         Sigma = (jnp.where(has_lb, zl / sl, 0.0)
