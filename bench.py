@@ -93,7 +93,7 @@ def main():
         from scipy.optimize import Bounds, minimize
 
         nlp = mpc.nlp
-        worst = 0.0
+        worst, n_ok = 0.0, 0
         for i in range(3):
             rt_i = nempc.runtime(x0s[i], params=params)
             obj = jax.jit(lambda w, r=rt_i: nlp.objective(w, r))
@@ -115,11 +115,12 @@ def main():
                                                          np.float64)}],
                          options={"maxiter": 400, "ftol": 1e-10})
             if r.success:
+                n_ok += 1
                 u_gold = r.x[2 * H: 3 * H]
                 worst = max(worst, float(np.max(np.abs(
                     np.asarray(res.u[i]).ravel() - u_gold))))
-        log(f"accuracy audit vs scipy SLSQP golden (3 problems): "
-            f"max |u - u_gold| = {worst:.2e}")
+        log(f"accuracy audit vs scipy SLSQP golden: {n_ok}/3 goldens "
+            f"solved, max |u - u_gold| = {worst:.2e}")
     except Exception as e:  # audit must never break the bench
         log(f"accuracy audit skipped: {type(e).__name__}: {e}")
 
