@@ -88,39 +88,51 @@ def main():
         f"converged {int(res.converged.sum())}/{B}")
 
     # accuracy audit: a few problems re-solved with scipy SLSQP (the
-    # reference's second backend) on the same transcription, in f64
+    # reference's second backend) on the SAME f32-evaluated transcription
+    # (an f64-evaluated model would shift the optimum itself on the
+    # near-singular feed arcs, measuring model-eval noise, not solver
+    # agreement)
     try:
         from scipy.optimize import Bounds, minimize
 
         nlp = mpc.nlp
-        worst, n_ok = 0.0, 0
+        worst, worst_obj, n_ok = 0.0, 0.0, 0
         for i in range(3):
             rt_i = nempc.runtime(x0s[i], params=params)
+            as32 = lambda w: jnp.asarray(w, jnp.float32)
             obj = jax.jit(lambda w, r=rt_i: nlp.objective(w, r))
             gobj = jax.jit(jax.grad(lambda w, r=rt_i: nlp.objective(w, r)))
             con = jax.jit(lambda w, r=rt_i: nlp.constraints(w, r))
-            jcon = jax.jit(jax.jacrev(lambda w, r=rt_i: nlp.constraints(w, r)))
-            as32 = lambda w: jnp.asarray(w, jnp.float32)
+            jcon = jax.jit(jax.jacrev(
+                lambda w, r=rt_i: nlp.constraints(w, r)))
             w0 = np.asarray(mpc.cold_start(x0s[i], params=params).w,
                             np.float64)
-            r = minimize(lambda w: float(obj(as32(w))), w0, method="SLSQP",
-                         jac=lambda w: np.asarray(gobj(as32(w)), np.float64),
-                         bounds=Bounds(np.asarray(nlp.lower, np.float64),
-                                       np.asarray(nlp.upper, np.float64)),
-                         constraints=[{
-                             "type": "eq",
-                             "fun": lambda w: np.asarray(con(as32(w)),
-                                                         np.float64),
-                             "jac": lambda w: np.asarray(jcon(as32(w)),
-                                                         np.float64)}],
-                         options={"maxiter": 400, "ftol": 1e-10})
+            r = minimize(
+                lambda w: float(obj(as32(w))), w0, method="SLSQP",
+                jac=lambda w: np.asarray(gobj(as32(w)), np.float64),
+                bounds=Bounds(np.asarray(nlp.lower, np.float64),
+                              np.asarray(nlp.upper, np.float64)),
+                constraints=[{
+                    "type": "eq",
+                    "fun": lambda w: np.asarray(con(as32(w)), np.float64),
+                    "jac": lambda w: np.asarray(jcon(as32(w)), np.float64)}],
+                options={"maxiter": 400, "ftol": 1e-10})
+            # SLSQP hits its linesearch floor at f32 resolution (status 8)
+            # on nearly-flat feed arcs where u is ill-determined; compare
+            # controls only against fully-converged goldens, and the
+            # (well-conditioned) objective gap against feasible ones.
+            viol = float(np.max(np.abs(np.asarray(con(as32(r.x))))))
             if r.success:
                 n_ok += 1
                 u_gold = r.x[2 * H: 3 * H]
                 worst = max(worst, float(np.max(np.abs(
                     np.asarray(res.u[i]).ravel() - u_gold))))
-        log(f"accuracy audit vs scipy SLSQP golden: {n_ok}/3 goldens "
-            f"solved, max |u - u_gold| = {worst:.2e}")
+            if r.success or (viol < 1e-5 and r.nit > 20):
+                worst_obj = max(worst_obj, abs(
+                    float(obj(as32(r.x))) - float(res.objective[i])))
+        log(f"accuracy audit vs scipy SLSQP golden (same f32 NLP): "
+            f"{n_ok}/3 fully converged, max |u - u_gold| = {worst:.2e}, "
+            f"max objective gap = {worst_obj:.2e}")
     except Exception as e:  # audit must never break the bench
         log(f"accuracy audit skipped: {type(e).__name__}: {e}")
 
