@@ -448,12 +448,12 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
 
         if cfg.debug:
             jax.debug.print(
-                "it={it} mu={mu:.2e} err0={e:.2e} errmu={em:.2e} "
+                "it={it} mu={mu:.2e} err0={e:.2e} "
                 "alpha={a:.2e} amax={am:.2e} adual={ad:.2e} ok={ok} "
-                "acc={acc} D={D:.2e} th={th:.2e} nu={nu:.1e} "
+                "D={D:.2e} th={th:.2e} nu={nu:.1e} "
                 "|dw|={dw:.2e} obj={o:.4f}",
-                it=state.it, mu=mu, e=err_0, em=err_mu, a=alpha,
-                am=alpha_pri_max, ad=alpha_dual, ok=ok, acc=any_accept,
+                it=state.it, mu=mu, e=err_0, a=alpha,
+                am=alpha_pri_max, ad=alpha_dual, ok=ok,
                 D=D, th=th0, nu=nu, dw=jnp.max(jnp.abs(dw)),
                 o=nlp.objective(w, rt))
 

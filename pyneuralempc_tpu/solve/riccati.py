@@ -172,18 +172,28 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         def per_stage(x_t, u_t, lam_row, tvp_t):
             f = lambda xu: phi1(xu[:nx], xu[nx:], p, tvp_t, params)
             xu = jnp.concatenate([x_t, u_t])
-            J = jax.jacfwd(f)(xu)                      # (nx, nx+nu)
-            G = jax.hessian(lambda z: lam_row @ f(z))(xu)
+
+            # Fused forward-over-reverse: one jacfwd pass produces both the
+            # defect curvature G = ∇²(λᵀΦ) and the Jacobian J = ∂Φ — the
+            # tangent of the vjp's primal output IS the jvp of Φ, so J rides
+            # along instead of costing a second full jacfwd(Φ) sweep (the
+            # dominant per-iteration autodiff cost at fleet scales).
+            def grad_and_val(z):
+                v, vjp = jax.vjp(f, z)
+                return vjp(lam_row)[0], v
+
+            if cfg.hessian == "exact":
+                G, J = jax.jacfwd(grad_and_val)(xu)    # (n,n), (nx,n)
+            else:
+                # Gauss-Newton / objective-only curvature drops the defect
+                # second-order terms — no reverse pass needed at all.
+                J = jax.jacfwd(f)(xu)
+                G = jnp.zeros((nx + nu, nx + nu), J.dtype)
             return J[:, :nx], J[:, nx:], G             # A_t, B_t, G_t
 
         tvp_ax = None if tvp is None else 0
         A, B, G = jax.vmap(per_stage, in_axes=(0, 0, 0, tvp_ax))(
             xprev, U, lam_t, tvp)
-        if cfg.hessian != "exact":
-            # Gauss-Newton / objective-only curvature: drop the defect
-            # second-order terms (same semantics as the dense backend's
-            # non-exact modes).
-            G = jnp.zeros_like(G)
 
         def cost_stage(x_n, u_t, tvp_t):
             return _call_user_fn(stage_cost.stage, x_n, u_t, p, tvp_t)
