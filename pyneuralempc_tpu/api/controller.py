@@ -81,11 +81,17 @@ class NMPC:
     H, DT:       horizon length and integrator step.
     integrator:  "delta" | "euler" | "rk4" | "direct".
     config:      :class:`IPConfig` solver settings (exact Hessian default).
+    mesh:        optional 2-D ``(scenario, horizon)`` device mesh
+                 (:func:`~pyneuralempc_tpu.parallel.horizon.
+                 make_horizon_mesh`): ``next_batch`` then runs the whole
+                 solve sequence-parallel, with the KKT sweep sharded over
+                 the horizon axis and problems over the scenario axis.
     """
 
     def __init__(self, model, objective, constraints=(), H: int = 10,
                  DT: float = 0.1, integrator: str = "rk4",
-                 config: IPConfig = IPConfig(), differentiable: bool = False):
+                 config: IPConfig = IPConfig(), differentiable: bool = False,
+                 mesh=None):
         box, path = _split_constraints(constraints)
         if box is None:
             box = Box.unbounded(model.dims.x, model.dims.u)
@@ -102,7 +108,25 @@ class NMPC:
             self._solve = make_alm_solver(self.nlp, config)
         else:
             self._ipcfg = config
-            if config.kkt == "riccati_pscan":
+            if mesh is not None:
+                # End-to-end sequence-parallel solve: every IP iteration's
+                # Riccati KKT sweep runs shard_map'd over the 2-D
+                # (scenario, horizon) mesh; the stage-block autodiff around
+                # it partitions by GSPMD.  Requires Riccati eligibility.
+                import functools
+                from ..parallel.horizon import horizon_sweep
+                if dict(mesh.shape).keys() != {"scenario", "horizon"}:
+                    raise ValueError(
+                        "mesh must have axes ('scenario', 'horizon'); "
+                        "use parallel.horizon.make_horizon_mesh")
+                if H % mesh.shape["horizon"] != 0:
+                    raise ValueError(
+                        f"H={H} not divisible by horizon axis "
+                        f"{mesh.shape['horizon']}")
+                direction = functools.partial(
+                    riccati.make_riccati_direction,
+                    sweep_impl=horizon_sweep(mesh))
+            elif config.kkt == "riccati_pscan":
                 from ..solve.pscan import riccati_sweep_pscan
                 import functools
                 direction = functools.partial(
@@ -115,8 +139,12 @@ class NMPC:
                 direction = None
             else:
                 raise ValueError(f"unknown kkt backend {config.kkt!r}")
-            self.kkt_backend = (config.kkt if config.kkt.startswith("riccati")
-                                else ("riccati" if direction else "dense"))
+            if mesh is not None:
+                self.kkt_backend = "riccati_horizon"
+            elif config.kkt.startswith("riccati"):
+                self.kkt_backend = config.kkt
+            else:
+                self.kkt_backend = "riccati" if direction else "dense"
             if differentiable:
                 # gradients flow through step()/next_batch() results via
                 # the implicit function theorem (solve/diff.py)

@@ -191,3 +191,38 @@ def make_sharded_sweep(mesh: Mesh) -> Callable:
     out_specs = (spec_bh, spec_bh, spec_bh, P("scenario"))
     return jax.jit(jax.shard_map(local_sweep, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs))
+
+
+def horizon_sweep(mesh: Mesh) -> Callable:
+    """Sweep impl that makes the *whole interior-point solve*
+    sequence-parallel: pass as ``sweep_impl`` to
+    :func:`~pyneuralempc_tpu.solve.riccati.make_riccati_direction` (or use
+    ``NMPC(..., mesh=mesh)``).
+
+    A single (un-vmapped) problem falls back to the parallel-in-time scan;
+    under ``vmap`` — i.e. inside ``NMPC.next_batch`` — the batched KKT sweep
+    dispatches to the ``shard_map``'d (scenario, horizon) sharded sweep, so
+    every IP iteration's Riccati factorisation runs split across the mesh
+    while the surrounding stage-block autodiff partitions by GSPMD.
+
+    Requires the batch divisible by ``mesh.shape['scenario']`` and H by
+    ``mesh.shape['horizon']``.
+    """
+    sharded = make_sharded_sweep(mesh)
+
+    @jax.custom_batching.custom_vmap
+    def sweep(A, B_, G, M, mx, mu_, c, delta):
+        return _ps.riccati_sweep_pscan(A, B_, G, M, mx, mu_, c, delta)
+
+    @sweep.def_vmap
+    def _rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c, delta):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x)[None], (axis_size,) + jnp.shape(x))
+
+        args = [bcast(x, b) for x, b in zip((A, B_, G, M, mx, mu_, c),
+                                            in_batched[:7])]
+        out = sharded(*args, bcast(delta, in_batched[7]))
+        return out, (True, True, True, True)
+
+    return sweep

@@ -52,3 +52,34 @@ def test_sharded_output_sharding():
     out = make_sharded_sweep(mesh)(*args)
     ndev = {s.device.id for s in out[0].addressable_shards}
     assert len(ndev) == 8
+
+
+def test_end_to_end_horizon_solve():
+    """Full IP solve with the horizon-sharded KKT backend (NMPC(mesh=...))
+    matches the plain Riccati solve."""
+    import pyneuralempc_tpu as nempc
+
+    H, B = 8, 4
+
+    def f(x, u):
+        return jnp.concatenate([x[:, 1:], u - 0.2 * x[:, :1]], axis=1)
+
+    model = nempc.jax_dynamics(f, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(
+        stage=lambda x, u: jnp.sum(u ** 2) + jnp.sum((x - 0.3) ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    kw = dict(H=H, DT=0.1, integrator="rk4", config=nempc.IPConfig())
+    ref_mpc = nempc.NMPC(model, cost, [box], **kw)
+    sh_mpc = nempc.NMPC(model, cost, [box],
+                        mesh=make_horizon_mesh(2, 4), **kw)
+    assert sh_mpc.kkt_backend == "riccati_horizon"
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 2)), jnp.float32)
+    _, r_ref = ref_mpc.next_batch(x0s)
+    _, r_sh = sh_mpc.next_batch(x0s)
+    assert bool(jnp.all(r_ref.converged))
+    assert bool(jnp.all(r_sh.converged))
+    np.testing.assert_allclose(np.asarray(r_sh.u), np.asarray(r_ref.u),
+                               atol=5e-4)
