@@ -97,14 +97,27 @@ def main():
 
         nlp = mpc.nlp
         worst, worst_obj, n_ok = 0.0, 0.0, 0
+        audit_t0 = time.perf_counter()
+        # Evaluate the audit NLP on the host CPU backend: scipy calls back
+        # thousands of times, and each blocking TPU round-trip can cost
+        # ~25 ms when the tunnel is in its high-latency mode — enough to
+        # blow the bench's time budget.  Same f32 NLP either way.
+        cpu = jax.devices("cpu")[0]
         for i in range(3):
-            rt_i = nempc.runtime(x0s[i], params=params)
-            as32 = lambda w: jnp.asarray(w, jnp.float32)
-            obj = jax.jit(lambda w, r=rt_i: nlp.objective(w, r))
-            gobj = jax.jit(jax.grad(lambda w, r=rt_i: nlp.objective(w, r)))
-            con = jax.jit(lambda w, r=rt_i: nlp.constraints(w, r))
+            if time.perf_counter() - audit_t0 > 120.0:
+                log(f"accuracy audit truncated after {i} problems (time)")
+                break
+            rt_i = jax.device_put(
+                nempc.runtime(np.asarray(x0s[i]), params=jax.tree_util.
+                              tree_map(np.asarray, params)), cpu)
+            as32 = lambda w: jax.device_put(np.asarray(w, np.float32), cpu)
+            obj = jax.jit(lambda w, r=rt_i: nlp.objective(w, r), device=cpu)
+            gobj = jax.jit(jax.grad(lambda w, r=rt_i: nlp.objective(w, r)),
+                           device=cpu)
+            con = jax.jit(lambda w, r=rt_i: nlp.constraints(w, r),
+                          device=cpu)
             jcon = jax.jit(jax.jacrev(
-                lambda w, r=rt_i: nlp.constraints(w, r)))
+                lambda w, r=rt_i: nlp.constraints(w, r)), device=cpu)
             w0 = np.asarray(mpc.cold_start(x0s[i], params=params).w,
                             np.float64)
             r = minimize(
