@@ -174,12 +174,20 @@ def main():
 
     # (b) pipelined steady-state throughput (the fleet-serving view):
     # chain plant-step -> re-plan without host syncs, block once at the end.
-    t0 = time.perf_counter()
-    for t in range(STEPS):
+    # The first ~8 chained dispatches after a blocking sync run slow while
+    # the device queue ramps (tunnel behaviour, measured), so warm the
+    # pipeline untimed first.
+    PIPE = int(os.environ.get("BENCH_PIPE_STEPS", 32))
+    for t in range(8):
         xs = phi_true(xs, res.u[:, 0])
         carry, res = mpc.next_batch(xs, params=params, carry=carry)
     jax.block_until_ready(carry.w)
-    p50 = (time.perf_counter() - t0) / STEPS
+    t0 = time.perf_counter()
+    for t in range(PIPE):
+        xs = phi_true(xs, res.u[:, 0])
+        carry, res = mpc.next_batch(xs, params=params, carry=carry)
+    jax.block_until_ready(carry.w)
+    p50 = (time.perf_counter() - t0) / PIPE
     solves_per_s = B / p50
     log(f"pipelined step: {p50*1e3:.1f}ms  "
         f"converged last step: {int(res.converged.sum())}/{B}")

@@ -158,6 +158,7 @@ class NMPC:
         self.model = model
 
         self._jit_step = jax.jit(self._step)
+        self._jit_warm_step = jax.jit(self._warm_step)
         self._batch_cache = {}
         # Instance warm-start convenience state (like the reference's
         # optimizer.prev_result, ipopt.py:130-147).
@@ -219,11 +220,18 @@ class NMPC:
                               mu=res.mu, valid=res.converged)
         return new_carry, out
 
+    def _warm_step(self, carry: WarmStart, rt):
+        """shift + solve fused in one traced program: the receding-horizon
+        shift is a handful of tiny concats which, executed op-by-op outside
+        jit, costs several device dispatches per re-plan — measurable
+        through the TPU tunnel at fleet rates."""
+        return self._step(self.shift(carry), rt)
+
     def step(self, carry: WarmStart, x0, p=None, tvp=None,
              params=None) -> Tuple[WarmStart, NMPCResult]:
         """Pure MPC step: shift the carry, solve, return (carry', result)."""
         rt = runtime(x0, p, tvp, params)
-        return self._jit_step(self.shift(carry), rt)
+        return self._jit_warm_step(carry, rt)
 
     # ---- stateful convenience API (reference ``NMPC.next`` shape) ----
 
@@ -231,12 +239,12 @@ class NMPC:
              params=None) -> NMPCResult:
         x0 = jnp.asarray(x0)
         self._check(x0, p, tvp, init_x, init_u)
+        rt = runtime(x0, p, tvp, params)
         if self._carry is None or init_x is not None:
             carry = self.cold_start(x0, init_x, init_u, p, tvp, params)
+            self._carry, res = self._jit_step(carry, rt)
         else:
-            carry = self.shift(self._carry)
-        rt = runtime(x0, p, tvp, params)
-        self._carry, res = self._jit_step(carry, rt)
+            self._carry, res = self._jit_warm_step(self._carry, rt)
         return res
 
     def reset(self):
@@ -260,19 +268,24 @@ class NMPC:
         rt = runtime(x0s, p, tvp, params)
         axes = {"x0": 0, "p": _baxis(p, 1), "tvp": _baxis(tvp, 2),
                 "params": _baxis_tree(params, B)}
-        if carry is None:
-            cold = lambda x0, pp, tv, pr: self.cold_start(
-                x0, p=pp, tvp=tv, params=pr)
-            carry = jax.vmap(cold, in_axes=(0, axes["p"], axes["tvp"],
-                                            axes["params"]))(
-                x0s, rt["p"], rt["tvp"], rt["params"])
-        else:
-            carry = jax.vmap(self.shift)(carry)
-        key = (axes["p"], axes["tvp"], axes["params"])
+        warm = carry is not None
+        if not warm:
+            # cold start fused into the same program as the solve (an
+            # un-jitted vmap here would execute op-by-op — one device
+            # dispatch per tiny op through the TPU tunnel)
+            def cold_step(x0, rt_):
+                c = self.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],
+                                    params=rt_["params"])
+                return self._step(c, rt_)
+        key = (warm, axes["p"], axes["tvp"], axes["params"])
         if key not in self._batch_cache:
-            self._batch_cache[key] = jax.jit(
-                jax.vmap(self._step, in_axes=(0, axes)))
-        return self._batch_cache[key](carry, rt)
+            if warm:
+                self._batch_cache[key] = jax.jit(
+                    jax.vmap(self._warm_step, in_axes=(0, axes)))
+            else:
+                self._batch_cache[key] = jax.jit(
+                    jax.vmap(cold_step, in_axes=(0, axes)))
+        return self._batch_cache[key](carry if warm else x0s, rt)
 
     def next_multi_start(self, x0, n_starts: int = 8, noise: float = 0.3,
                          p=None, tvp=None, params=None, key=None
