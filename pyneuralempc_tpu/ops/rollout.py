@@ -50,6 +50,10 @@ def simulate(phi: Callable, x0, U, p=None, tvp=None, params=None):
         u_t, tvp_t = inputs
         x_next = phi(x[None, :], u_t[None, :], p,
                      None if tvp_t is None else tvp_t[None, :], params)[0]
+        # pin the carry dtype: under x64, weak-typed DT/params constants
+        # would otherwise promote the carry mid-scan and break lax.scan's
+        # carry-type invariant
+        x_next = x_next.astype(x.dtype)
         return x_next, x_next
 
     tvp_seq = tvp if tvp is not None else None
