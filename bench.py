@@ -96,7 +96,7 @@ def main():
         from scipy.optimize import Bounds, minimize
 
         nlp = mpc.nlp
-        worst, worst_obj, n_ok = 0.0, 0.0, 0
+        worst, worst_obj, n_ok = 0.0, -float("inf"), 0
         audit_t0 = time.perf_counter()
         # Evaluate the audit NLP on the host CPU backend: scipy calls back
         # thousands of times, and each blocking TPU round-trip can cost
@@ -142,11 +142,18 @@ def main():
                 u_gold = r.x[2 * H: 3 * H]
                 worst = max(worst, float(np.max(np.abs(
                     np.asarray(res.u[i]).ravel() - u_gold))))
-                worst_obj = max(worst_obj, abs(
-                    float(obj(as32(r.x))) - float(res.objective[i])))
-        log(f"accuracy audit vs scipy SLSQP golden (same f32 NLP): "
-            f"{n_ok}/3 usable goldens (feasible), max |u - u_gold| = "
-            f"{worst:.2e}, max objective gap = {worst_obj:.2e}")
+                # signed: ours - golden.  Positive = golden found a better
+                # point; negative = we did (then any control difference on
+                # a flat arc is the golden's imprecision, not ours).
+                worst_obj = max(worst_obj,
+                                float(res.objective[i]) - float(obj(as32(r.x))))
+        if n_ok:
+            log(f"accuracy audit vs scipy SLSQP golden (same f32 NLP): "
+                f"{n_ok}/3 usable goldens (feasible), max |u - u_gold| = "
+                f"{worst:.2e}, worst objective excess (ours-golden) = "
+                f"{worst_obj:.2e}")
+        else:
+            log("accuracy audit: no usable goldens this run")
     except Exception as e:  # audit must never break the bench
         log(f"accuracy audit skipped: {type(e).__name__}: {e}")
 
