@@ -61,7 +61,9 @@ def make_differentiable_solver(nlp: NLP, config: IPConfig = IPConfig(),
 
     def _kkt_solve(w, lam, rt, Sigma, r_tilde, r_p):
         if kkt_solve_fn is not None:
-            return kkt_solve_fn(w, lam, rt, Sigma, r_tilde, r_p)
+            # direction backends return (dw, dlam, ok, resolve); the
+            # resolve hook is only for the solver's SOC, drop it here
+            return kkt_solve_fn(w, lam, rt, Sigma, r_tilde, r_p)[:3]
         # dense fallback: symmetric KKT LU (f32, equilibrated + refined)
         n, m = nlp.n, nlp.m
         W = jax.hessian(lambda ww: nlp.lagrangian(ww, lam, rt))(w)

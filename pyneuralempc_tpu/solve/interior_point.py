@@ -93,6 +93,22 @@ class IPConfig:
     ls_backtracks: int = 8         # line-search fan size
     ls_factor: float = 0.5         # candidate j uses α_max · ls_factor**j
     armijo_eta: float = 1e-4
+    soc: bool = True               # second-order correction: when the full
+                                   # step is rejected with θ growth, re-solve
+                                   # the KKT system (same factors/blocks)
+                                   # with rhs α_max·c + c(w+α_max·dw) and
+                                   # try the corrected step before
+                                   # backtracking — Ipopt's Maratos remedy.
+                                   # Costs nothing on iterations that accept
+                                   # the full step.
+    theta_noise_per_row: float = 3e-7
+    # f32 noise floor of one constraint row, relative to (1+‖w‖∞).  When θ
+    # sits at its float noise floor, the ν‖C‖₁ merit term is ±noise·ν —
+    # with large multipliers that swamps the barrier improvement of a full
+    # Newton step and the line search crawls (measured: quadrotor H=50,
+    # ν≈430, 90 iterations at α≈0.008).  Steps that keep θ under the floor
+    # are therefore judged on the barrier function's own Armijo condition
+    # (the analog of Ipopt's f-type switching rule).
     delta_c: float = 1e-8          # dual regularisation
     nu_init: float = 1.0           # merit penalty initial value
     hessian: str = "exact"         # "exact" | "objective" | "gauss_newton"
@@ -322,10 +338,17 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         return dw, dlam, ok
 
     def dense_direction(w, lam, rt, Sigma, r_tilde, c):
-        """Default KKT backend: dense Hessian + full-space LU."""
+        """Default KKT backend: dense Hessian + full-space LU.  Returns
+        ``(dw, dlam, ok, resolve)`` — resolve reuses W and A (the autodiff)
+        for a new rhs (second-order-correction hook)."""
         W = hess_w(w, lam, rt)
         A = jac_cons(w, rt)
-        return kkt_step(W, Sigma, A, r_tilde, c)
+
+        def resolve(r2, c2):
+            return kkt_step(W, Sigma, A, r2, c2)
+
+        dw, dlam, ok = resolve(r_tilde, c)
+        return dw, dlam, ok, resolve
 
     direction_fn = (direction(nlp, cfg) if direction is not None
                     else dense_direction)
@@ -371,7 +394,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         r_tilde = (g + ATlam
                    - jnp.where(has_lb, mu / sl, 0.0)
                    + jnp.where(has_ub, mu / su, 0.0))
-        dw, dlam, ok = direction_fn(w, lam, rt, Sigma, r_tilde, c)
+        dw, dlam, ok, resolve_kkt = direction_fn(w, lam, rt, Sigma,
+                                                 r_tilde, c)
         # Fallback when even max regularisation fails: scaled steepest
         # descent on the barrier merit, so the iterate keeps moving instead
         # of stalling forever (the reference's analog is SLSQP's
@@ -385,9 +409,15 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
 
         # --- fraction-to-boundary step caps ---
         tau = jnp.maximum(cfg.tau_min, 1.0 - mu)
-        a_lb = jnp.where(has_lb & (dw < 0), -tau * sl / jnp.where(dw < 0, dw, -1.0), jnp.inf)
-        a_ub = jnp.where(has_ub & (dw > 0), tau * su / jnp.where(dw > 0, dw, 1.0), jnp.inf)
-        alpha_pri_max = jnp.minimum(1.0, jnp.minimum(jnp.min(a_lb), jnp.min(a_ub)))
+
+        def ftb(d):
+            a_l = jnp.where(has_lb & (d < 0),
+                            -tau * sl / jnp.where(d < 0, d, -1.0), jnp.inf)
+            a_u = jnp.where(has_ub & (d > 0),
+                            tau * su / jnp.where(d > 0, d, 1.0), jnp.inf)
+            return jnp.minimum(1.0, jnp.minimum(jnp.min(a_l), jnp.min(a_u)))
+
+        alpha_pri_max = ftb(dw)
         a_zl = jnp.where(dzl < 0, -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
         a_zu = jnp.where(dzu < 0, -tau * zu / jnp.where(dzu < 0, dzu, -1.0), jnp.inf)
         alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl), jnp.min(a_zu)))
@@ -404,33 +434,85 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                     + jnp.where(has_ub, mu / su, 0.0))
         D = jnp.dot(grad_phi, dw) - nu * th0
 
-        def merit_at(alpha):
-            w_t = w + alpha * dw
-            return barrier_value(w_t, rt, mu) + nu * theta(w_t, rt)
+        # f-type acceptance precomputation: θ is float-noise when below
+        # `slack` (per-row noise × rows × iterate scale); there the merit's
+        # ν‖C‖₁ term carries no information and steps are judged on the
+        # barrier function alone (see IPConfig.theta_noise_per_row).
+        slack = (cfg.theta_noise_per_row * jnp.asarray(max(m, 1), dtype)
+                 * (1.0 + jnp.max(jnp.abs(w))))
+        D_phi = jnp.dot(grad_phi, dw)
+        ftype = (th0 <= slack) & (D_phi < 0)
 
-        # Sequential backtracking (identical iterates to evaluating the
-        # whole α_max·factor^j fan, but typically 1-2 merit evaluations —
-        # each one is a full model rollout, so this is the cheapest part
-        # of the iteration that used to cost 8 rollouts).
+        def eval_point(w_t):
+            c_t = nlp.constraints(w_t, rt)
+            th_t = jnp.minimum(jnp.nan_to_num(jnp.sum(jnp.abs(c_t)),
+                                              nan=_BIG), _BIG)
+            return barrier_value(w_t, rt, mu), th_t, c_t
+
+        # Sequential backtracking line search with an embedded second-order
+        # correction (Ipopt's SOC).  The pass counter j stays a *scalar*
+        # under vmap (incremented uniformly), so pass 1's SOC re-solve runs
+        # under a scalar lax.cond — a warm batch that accepts the full step
+        # on pass 0 never executes it.  Per-member state: bt counts failed
+        # plain backtracks (candidate α = α_max·factor^bt), c1/th1 save the
+        # pass-0 trial for the SOC right-hand side α_max·c + c(w+α_max·dw).
+        n_pass = cfg.ls_backtracks + (1 if cfg.soc else 0)
+
         def ls_cond(carry):
-            j, _, accepted = carry
-            return (~accepted) & (j < cfg.ls_backtracks)
+            j = carry[0]
+            acc = carry[3]
+            return (~acc) & (j < n_pass)
 
         def ls_body(carry):
-            j, a_prev, acc = carry
-            a_j = alpha_pri_max * cfg.ls_factor ** j.astype(dtype)
-            m_j = merit_at(a_j)
-            ok_j = m_j <= merit0 + cfg.armijo_eta * a_j * jnp.minimum(D, 0.0)
-            # freeze members that already accepted (lockstep under vmap)
-            return (j + 1, jnp.where(acc, a_prev, a_j), acc | ok_j)
+            j, bt, step_w, acc, step_lam, th1, c1 = carry
+            if cfg.soc:
+                def soc_dir():
+                    c_soc = alpha_pri_max * c + c1
+                    dw_s, dlam_s, ok_s = resolve_kkt(r_tilde, c_soc)
+                    return dw_s, dlam_s, ok_s
+                dw_s, dlam_s, ok_s = jax.lax.cond(
+                    j == 1, soc_dir,
+                    lambda: (jnp.zeros_like(dw), jnp.zeros_like(dlam),
+                             jnp.asarray(False)))
+                # SOC applies on pass 1 to members whose full-step trial
+                # increased the constraint violation (curvature-dominated
+                # rejection — the Maratos case).
+                use_soc = (j == 1) & (th1 >= th0) & ok_s
+            else:
+                dw_s, dlam_s = dw, dlam
+                use_soc = jnp.asarray(False)
+            a_plain = alpha_pri_max * cfg.ls_factor ** bt.astype(dtype)
+            a_soc = ftb(dw_s)
+            a_j = jnp.where(use_soc, a_soc, a_plain)
+            d_j = jnp.where(use_soc, dw_s, dw)
+            dl_j = jnp.where(use_soc, dlam_s, dlam)
+            phi_j, th_j, c_j = eval_point(w + a_j * d_j)
+            m_j = phi_j + nu * th_j
+            # SOC steps are judged against the α_max Armijo budget
+            # (they replace the full step, not a backtracked one)
+            a_ref = jnp.where(use_soc, alpha_pri_max, a_j)
+            ok_std = (m_j <= merit0
+                      + cfg.armijo_eta * a_ref * jnp.minimum(D, 0.0))
+            ok_f = (ftype & (th_j <= slack)
+                    & (phi_j <= phi0 + cfg.armijo_eta * a_j * D_phi))
+            ok_j = ok_std | ok_f
+            th1 = jnp.where(j == 0, th_j, th1)
+            c1 = jnp.where(j == 0, c_j, c1)
+            bt = bt + jnp.where(use_soc | ok_j, 0, 1)
+            # j increments uniformly (stays unbatched under vmap); members
+            # that accept are frozen by the while_loop's batching select.
+            return (j + 1, bt, a_j * d_j, acc | ok_j, a_j * dl_j, th1, c1)
 
-        _, alpha, _ = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype),
-             jnp.asarray(False)))
+        init = (jnp.asarray(0, jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros_like(w), jnp.asarray(False), jnp.zeros_like(lam),
+                jnp.asarray(0.0, dtype), jnp.zeros_like(c))
+        _, _, step_w, _, step_lam, _, _ = jax.lax.while_loop(
+            ls_cond, ls_body, init)
+        alpha = jnp.max(jnp.abs(step_w)) / jnp.maximum(
+            jnp.max(jnp.abs(dw)), 1e-30)   # diagnostics only
 
-        w_new = w + alpha * dw
-        lam_new = lam + alpha * dlam
+        w_new = w + step_w
+        lam_new = lam + step_lam
         zl_new = zl + alpha_dual * dzl
         zu_new = zu + alpha_dual * dzu
 

@@ -217,18 +217,16 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         return A, B, G, M
 
     def direction(w, lam, rt, Sigma, r_tilde, c_full):
+        """Returns ``(dw, dlam, ok, resolve)``; ``resolve(r_tilde2, c2)``
+        re-solves with the SAME stage blocks (the expensive autodiff) and a
+        new right-hand side — the second-order-correction hook."""
         A, B, G, M = stage_blocks(w, lam, rt)
-        c = c_full.reshape(H, nx)
-
-        # slice Σ (+δ handled in retry) and r̃ into stage layout
-        Sig_x = Sigma[: H * nx].reshape(H, nx)
-        Sig_u = Sigma[H * nx: H * (nx + nu)].reshape(H, nu)
-        m_x = r_tilde[: H * nx].reshape(H, nx)
-        m_u = r_tilde[H * nx: H * (nx + nu)].reshape(H, nu)
 
         # fold Σ into the stage cost Hessian diagonal
         ix = jnp.arange(nx)
         iu = jnp.arange(nu)
+        Sig_x = Sigma[: H * nx].reshape(H, nx)
+        Sig_u = Sigma[H * nx: H * (nx + nu)].reshape(H, nu)
         M = M.at[:, ix, ix].add(jnp.clip(jnp.nan_to_num(Sig_x, posinf=1e10),
                                          0.0, 1e10))
         M = M.at[:, nx + iu, nx + iu].add(
@@ -236,27 +234,37 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         G = jnp.nan_to_num(G, posinf=1e10, neginf=-1e10)
         M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
 
-        def sweep(delta):
-            dX, dU, dLam, okc = the_sweep(A, B, G, M, m_x, m_u, c, delta)
-            dw = nlp.pack(dX, dU)
-            dlam = dLam.reshape(-1)
-            ok = okc & jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dlam))
-            return dw, dlam, ok
-
-        def cond(carry):
-            i, _, _, ok = carry
-            return (~ok) & (i < len(_DELTAS))
-
         deltas = jnp.asarray(_DELTAS, w.dtype)
 
-        def body(carry):
-            i, _, _, _ = carry
-            dw, dlam, ok = sweep(deltas[i])
-            return (i + 1, dw, dlam, ok)
+        def resolve(r_tilde2, c2_full):
+            c2 = c2_full.reshape(H, nx)
+            m_x = r_tilde2[: H * nx].reshape(H, nx)
+            m_u = r_tilde2[H * nx: H * (nx + nu)].reshape(H, nu)
 
-        init = (jnp.asarray(0, jnp.int32), jnp.zeros_like(w),
-                jnp.zeros_like(lam), jnp.asarray(False))
-        _, dw, dlam, ok = jax.lax.while_loop(cond, body, init)
-        return dw, dlam, ok
+            def sweep(delta):
+                dX, dU, dLam, okc = the_sweep(A, B, G, M, m_x, m_u, c2,
+                                              delta)
+                dw = nlp.pack(dX, dU)
+                dlam = dLam.reshape(-1)
+                ok = (okc & jnp.all(jnp.isfinite(dw))
+                      & jnp.all(jnp.isfinite(dlam)))
+                return dw, dlam, ok
+
+            def cond(carry):
+                i, _, _, ok = carry
+                return (~ok) & (i < len(_DELTAS))
+
+            def body(carry):
+                i, _, _, _ = carry
+                dw, dlam, ok = sweep(deltas[i])
+                return (i + 1, dw, dlam, ok)
+
+            init = (jnp.asarray(0, jnp.int32), jnp.zeros_like(w),
+                    jnp.zeros_like(lam), jnp.asarray(False))
+            _, dw, dlam, ok = jax.lax.while_loop(cond, body, init)
+            return dw, dlam, ok
+
+        dw, dlam, ok = resolve(r_tilde, c_full)
+        return dw, dlam, ok, resolve
 
     return direction

@@ -74,7 +74,8 @@ def test_riccati_direction_matches_oracle():
     c = nlp.constraints(w, rt)
 
     direction = make_riccati_direction(nlp, mpc.config)
-    dw_j, dlam_j, ok = jax.jit(direction)(w, lam, rt, Sigma, r_tilde, c)
+    dw_j, dlam_j, ok = jax.jit(
+        lambda *a: direction(*a)[:3])(w, lam, rt, Sigma, r_tilde, c)
     assert bool(ok)
 
     W = jax.hessian(lambda ww: nlp.lagrangian(ww, lam, rt))(w)

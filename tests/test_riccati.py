@@ -76,7 +76,8 @@ def test_direction_matches_dense():
     c = nlp.constraints(w, rt)
 
     ric = make_riccati_direction(nlp, cfg)
-    dw_r, dlam_r, ok_r = jax.jit(ric)(w, lam, rt, Sigma, r_tilde, c)
+    dw_r, dlam_r, ok_r = jax.jit(
+        lambda *a: ric(*a)[:3])(w, lam, rt, Sigma, r_tilde, c)
     assert bool(ok_r)
 
     # dense reference direction: solve the same condensed system exactly
@@ -111,7 +112,8 @@ def test_direction_matches_dense_with_terminal():
     c = nlp.constraints(w, rt)
 
     ric = make_riccati_direction(nlp, cfg)
-    dw_r, dlam_r, ok_r = jax.jit(ric)(w, lam, rt, Sigma, r_tilde, c)
+    dw_r, dlam_r, ok_r = jax.jit(
+        lambda *a: ric(*a)[:3])(w, lam, rt, Sigma, r_tilde, c)
     W = jax.hessian(lambda ww: nlp.lagrangian(ww, lam, rt))(w)
     A = jax.jacrev(lambda ww: nlp.constraints(ww, rt))(w)
     n, m = nlp.n, nlp.m
