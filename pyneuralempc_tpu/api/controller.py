@@ -33,6 +33,11 @@ from ..solve.interior_point import IPConfig, IPResult, make_solver
 
 
 class NMPCResult(NamedTuple):
+    """Failure triage (SURVEY §5.3): ``converged=False, feasible=True`` —
+    optimality stalled on a feasible plan (safe to apply; the next warm
+    re-solve usually recovers); ``feasible=False`` — local-infeasibility
+    certificate: no trajectory from this x0 satisfies the dynamics within
+    the bounds (the reference returned ``(None, None)`` here)."""
     x: Any            # (H, x_dim) planned state trajectory
     u: Any            # (H, u_dim) planned controls
     converged: Any    # bool
@@ -40,6 +45,8 @@ class NMPCResult(NamedTuple):
     kkt_error: Any
     objective: Any
     slack: Any        # (n_slack,) path-constraint slacks
+    theta: Any        # final max constraint violation ‖C‖∞
+    feasible: Any     # bool: theta <= tol
 
 
 class WarmStart(NamedTuple):
@@ -215,7 +222,8 @@ class NMPC:
         X, U, s = self.nlp.unpack(res.w)
         out = NMPCResult(x=X, u=U, converged=res.converged,
                          iterations=res.iterations, kkt_error=res.kkt_error,
-                         objective=res.objective, slack=s)
+                         objective=res.objective, slack=s,
+                         theta=res.theta, feasible=res.feasible)
         new_carry = WarmStart(w=res.w, lam=res.lam, zl=res.zl, zu=res.zu,
                               mu=res.mu, valid=res.converged)
         return new_carry, out
@@ -330,7 +338,8 @@ class NMPC:
                           iterations=res.iterations[idx],
                           kkt_error=res.kkt_error[idx],
                           objective=res.objective[idx],
-                          slack=res.slack[idx])
+                          slack=res.slack[idx],
+                          theta=res.theta[idx], feasible=res.feasible[idx])
 
     # ---- validation (reference controller.py:67-84 semantics) ----
 

@@ -124,12 +124,15 @@ def make_alm_solver(nlp: NLP, config: ALMConfig = ALMConfig()):
 
         c = nlp.constraints(state.w, rt)
         zeros = jnp.zeros_like(state.w)
+        theta_inf = (jnp.max(jnp.abs(c)) if nlp.m
+                     else jnp.asarray(0.0, dtype))
         return IPResult(w=state.w, lam=state.y, zl=zeros, zu=zeros,
                         mu=jnp.asarray(cfg.ip.tol, dtype),
                         converged=state.converged,
                         iterations=state.it,
-                        kkt_error=jnp.maximum(state.inner_kkt,
-                                              jnp.max(jnp.abs(c))),
-                        objective=nlp.objective(state.w, rt))
+                        kkt_error=jnp.maximum(state.inner_kkt, theta_inf),
+                        objective=nlp.objective(state.w, rt),
+                        theta=theta_inf,
+                        feasible=theta_inf <= cfg.tol_feas)
 
     return solve

@@ -130,6 +130,7 @@ def make_differentiable_solver(nlp: NLP, config: IPConfig = IPConfig(),
                         zl=res.zl, zu=res.zu, mu=res.mu,
                         converged=res.converged, iterations=res.iterations,
                         kkt_error=res.kkt_error,
-                        objective=nlp.objective(w_star, rt))
+                        objective=nlp.objective(w_star, rt),
+                        theta=res.theta, feasible=res.feasible)
 
     return solve

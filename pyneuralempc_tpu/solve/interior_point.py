@@ -143,7 +143,15 @@ class IPState(NamedTuple):
 
 class IPResult(NamedTuple):
     """Named result — replaces the reference's ambiguous positional
-    ``(x_traj, u_traj)`` return (SURVEY §2.9 API-ordering bug)."""
+    ``(x_traj, u_traj)`` return (SURVEY §2.9 API-ordering bug).
+
+    Failure triage: ``converged=False, feasible=True`` means optimality
+    stalled at a feasible plan (a warm re-solve next step usually
+    recovers; the plan is safe to apply); ``feasible=False`` with large
+    ``theta`` is the local-infeasibility certificate — no trajectory from
+    this x0 satisfies the dynamics within the bounds (the reference's
+    Ipopt would exit with its infeasible status and the controller would
+    return ``(None, None)``, controller.py:112-113)."""
     w: Any
     lam: Any
     zl: Any
@@ -153,6 +161,8 @@ class IPResult(NamedTuple):
     iterations: Any
     kkt_error: Any
     objective: Any
+    theta: Any        # final max constraint violation ‖C(w)‖∞
+    feasible: Any     # bool: theta <= tol
 
 
 def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
@@ -613,11 +623,15 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             err = kkt_error(state.w, state.lam, state.zl, state.zu, g,
                             ATlam, c, 0.0)
         converged = state.converged | (err <= cfg.tol)
+        theta_inf = (jnp.max(jnp.abs(c)) if m
+                     else jnp.asarray(0.0, dtype))
         result = IPResult(w=state.w, lam=state.lam, zl=state.zl,
                           zu=state.zu, mu=state.mu, converged=converged,
                           iterations=state.it,
                           kkt_error=jnp.minimum(err, state.kkt_error),
-                          objective=orig_nlp.objective(state.w, rt))
+                          objective=orig_nlp.objective(state.w, rt),
+                          theta=theta_inf,
+                          feasible=theta_inf <= cfg.tol)
         if cfg.record:
             return result, trace
         return result

@@ -119,3 +119,30 @@ def test_ftype_disabled_still_converges():
                      config=nempc.IPConfig(theta_noise_per_row=0.0))
     res = mpc.next(jnp.array([50.0, 5.0]))
     assert bool(res.converged)
+
+
+def test_infeasibility_certificate():
+    """x0 so far outside the box that no feasible x1 exists: the result
+    must say feasible=False with a large theta — the local-infeasibility
+    certificate (the reference's NMPC returned (None, None) on solver
+    failure, controller.py:112-113)."""
+    def lv(x, u):
+        return jnp.concatenate(
+            [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+             -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+    model = nempc.jax_dynamics(lv, x_dim=2, u_dim=1)
+    box = nempc.DomainConstraint(states_constraint=[[0., 60.], [0., 40.]],
+                                 control_constraint=[[0., 60.]])
+    mpc = nempc.NMPC(model, lambda x, u: jnp.sum(1.1 * u), [box],
+                     H=25, DT=0.1, integrator="rk4")
+    res = mpc.next(jnp.array([70.0, 45.0]))   # prey cannot re-enter <=60
+    assert not bool(res.converged)
+    assert not bool(res.feasible)
+    assert float(res.theta) > 1.0
+
+    # and a feasible solve reports feasible=True with tiny theta
+    mpc.reset()
+    res2 = mpc.next(jnp.array([50.0, 5.0]))
+    assert bool(res2.converged) and bool(res2.feasible)
+    assert float(res2.theta) <= mpc.config.tol
