@@ -302,8 +302,11 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
 
-    def kkt_step(W, Sigma, A, r_tilde, r_p):
+    def kkt_step(W, Sigma, A, r_tilde, r_p, retry=True):
         """Full-space symmetric-indefinite KKT solve with δ_w retry.
+        ``retry=False`` does a single δ=0 factorisation with no while_loop
+        (required when traced inside lax.cond inside the line-search loop —
+        see the Riccati backend's resolve note).
 
         The augmented system
 
@@ -348,6 +351,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                   & (curv >= 1e-10 * (dw @ dw)))
             return dw, dlam, ok
 
+        if not retry:
+            return factor(deltas[0])
+
         def cond(carry):
             i, _, _, ok = carry
             return (~ok) & (i < len(_DELTAS))
@@ -369,8 +375,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         W = hess_w(w, lam, rt)
         A = jac_cons(w, rt)
 
-        def resolve(r2, c2):
-            return kkt_step(W, Sigma, A, r2, c2)
+        def resolve(r2, c2, retry=True):
+            return kkt_step(W, Sigma, A, r2, c2, retry=retry)
 
         dw, dlam, ok = resolve(r_tilde, c)
         return dw, dlam, ok, resolve
@@ -539,7 +545,11 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             if cfg.soc:
                 def soc_dir():
                     c_soc = alpha_pri_max * c + c1
-                    dw_s, dlam_s, ok_s = resolve_kkt(r_tilde, c_soc)
+                    # single delta=0 sweep: a retry while_loop traced here
+                    # (inside cond inside the LS loop) faults the TPU
+                    # compiler at fleet batch sizes
+                    dw_s, dlam_s, ok_s = resolve_kkt(r_tilde, c_soc,
+                                                     retry=False)
                     return dw_s, dlam_s, ok_s
                 dw_s, dlam_s, ok_s = jax.lax.cond(
                     j == 1, soc_dir,

@@ -236,7 +236,12 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
 
         deltas = jnp.asarray(_DELTAS, w.dtype)
 
-        def resolve(r_tilde2, c2_full):
+        def resolve(r_tilde2, c2_full, retry=True):
+            """``retry=False`` does a single δ=0 sweep with no while_loop —
+            required where resolve is traced inside lax.cond inside the
+            line-search loop (the SOC call): a δ-retry while nested there
+            faults the TPU compiler at fleet batch sizes (observed at
+            B>=1024, H=50, 12-state)."""
             c2 = c2_full.reshape(H, nx)
             m_x = r_tilde2[: H * nx].reshape(H, nx)
             m_u = r_tilde2[H * nx: H * (nx + nu)].reshape(H, nu)
@@ -249,6 +254,9 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
                 ok = (okc & jnp.all(jnp.isfinite(dw))
                       & jnp.all(jnp.isfinite(dlam)))
                 return dw, dlam, ok
+
+            if not retry:
+                return sweep(deltas[0])
 
             def cond(carry):
                 i, _, _, ok = carry
