@@ -1,11 +1,15 @@
 """Cartpole swing-up via economic NMPC (BASELINE config 3).
 
 4-state (cart position/velocity, pole angle/rate), 1 input (cart force),
-H=50, nonlinear dynamics, box state constraints and a custom economic cost
-(energy shaping + effort price — no reference trajectory).
+H=50, nonlinear dynamics, a *nonlinear state constraint* (pole-tip
+horizontal clearance |pos + L·sinθ| <= TIP_MAX — a StageConstraint solved
+on the O(H) Riccati KKT backend, not the dense fallback), box bounds, and a
+custom economic cost (energy shaping + effort price — no reference
+trajectory).
 
 θ is measured from the UPRIGHT position (θ=0 up, θ=π hanging); the MPC must
-discover the pumping maneuver on its own.
+discover the pumping maneuver on its own, while keeping the tip inside the
+clearance envelope.
 
 Run: python examples/cartpole.py [--cpu] [--mlp] [--steps N]
 """
@@ -82,9 +86,18 @@ def main():
         states_constraint=[[-2.0, 2.0], [-6.0, 6.0],
                            [-2.0 * np.pi, 2.0 * np.pi], [-12.0, 12.0]],
         control_constraint=[[-10.0, 10.0]])
-    mpc = nempc.NMPC(model, cost, [box], H=H, DT=DT, integrator="rk4",
+    # nonlinear state constraint (config 3): pole-tip horizontal clearance
+    # |pos + L·sin θ| <= TIP_MAX — stage-wise, so it folds into the Riccati
+    # sweep (slack Σ condensed into the per-stage blocks).
+    TIP_MAX = 0.55
+    tip = nempc.stage_interval(
+        lambda x, u: jnp.array([x[0] + L * jnp.sin(x[2])]),
+        dim=1, lb=-TIP_MAX, ub=TIP_MAX)
+    mpc = nempc.NMPC(model, cost, [box, tip], H=H, DT=DT, integrator="rk4",
                      config=nempc.IPConfig(max_iter=120))
     print("kkt backend:", mpc.kkt_backend)
+    assert mpc.kkt_backend == "riccati", \
+        "config 3 must run structured O(H), not dense"
 
     phi_true = step_fn(truth, "rk4", DT)
     x = jnp.array([0.0, 0.0, np.pi - 0.05, 0.0])  # hanging (tiny offset
@@ -104,12 +117,17 @@ def main():
 
     traj = np.asarray(traj)
     cos_final = float(np.cos(traj[-1, 2]))
+    tip_pos = traj[:, 0] + L * np.sin(traj[:, 2])
     print(f"solves converged: {sum(conv)}/{len(conv)}")
     print(f"final cos(theta): {cos_final:.3f}  (1.0 = upright)")
     print(f"cart pos range: [{traj[:,0].min():.2f}, {traj[:,0].max():.2f}]"
           f"  (box +-2)")
+    print(f"tip clearance |pos + L sin(th)| max: {np.abs(tip_pos).max():.3f}"
+          f"  (nonlinear constraint <= {TIP_MAX})")
     print(f"force range: [{min(us):.2f}, {max(us):.2f}]  (box +-10)")
     assert np.abs(traj[:, 0]).max() <= 2.01, "cart position bound violated"
+    assert np.abs(tip_pos).max() <= TIP_MAX + 0.05, \
+        "tip clearance constraint violated in closed loop"
     return cos_final
 
 

@@ -29,8 +29,9 @@ Quick start::
 """
 
 from .core.problem import (Box, Dims, MPCSpec, PathConstraint, StageCost,
-                           equality_constraint, inequality_constraint,
-                           interval_constraint, runtime)
+                           StageConstraint, equality_constraint,
+                           inequality_constraint, interval_constraint,
+                           runtime, stage_inequality, stage_interval)
 from .core.transcription import NLP, transcribe
 from .models.base import DynamicsModel, jax_dynamics
 from .models.mlp import MLPDynamics, mlp_apply, mlp_init
@@ -50,7 +51,8 @@ DomainConstraint = Box.make
 __version__ = "0.1.0"
 
 __all__ = [
-    "Box", "Dims", "MPCSpec", "PathConstraint", "DomainConstraint",
+    "Box", "Dims", "MPCSpec", "PathConstraint", "StageConstraint",
+    "DomainConstraint", "stage_inequality", "stage_interval",
     "equality_constraint", "inequality_constraint", "interval_constraint",
     "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",

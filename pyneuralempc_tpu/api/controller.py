@@ -27,7 +27,8 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.problem import Box, MPCSpec, PathConstraint, runtime
+from ..core.problem import (Box, MPCSpec, PathConstraint, StageConstraint,
+                            runtime)
 from ..core.transcription import NLP, transcribe
 from ..solve.interior_point import IPConfig, IPResult, make_solver
 
@@ -70,7 +71,7 @@ def _split_constraints(constraints):
             if box is not None:
                 raise ValueError("at most one Box/DomainConstraint allowed")
             box = c
-        elif isinstance(c, PathConstraint):
+        elif isinstance(c, (PathConstraint, StageConstraint)):
             path.append(c)
         else:
             raise TypeError(f"unknown constraint type: {type(c)!r}")
@@ -198,7 +199,8 @@ class NMPC:
             phi = step_fn(self.spec.model, self.spec.integrator, self.spec.DT)
             X = simulate(phi, x0, U, p, tvp, params)
             X = jnp.nan_to_num(X, nan=0.0, posinf=0.0, neginf=0.0)
-        w = self.nlp.pack(X, U)
+        s = self.nlp.init_slacks(X, U, {"p": p, "tvp": tvp})
+        w = self.nlp.pack(X, U, s)
         return WarmStart(w=w, lam=jnp.zeros((self.nlp.m,), w.dtype),
                          zl=None, zu=None,
                          mu=jnp.asarray(self._ipcfg.mu_init, w.dtype),
@@ -212,6 +214,7 @@ class NMPC:
         X, U, s = self.nlp.unpack(carry.w)
         X = jnp.concatenate([X[1:], X[-1:]], axis=0)
         U = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        s = self.nlp.shift_slacks(s)
         mu = jnp.maximum(carry.mu, self._ipcfg.warm_mu)
         return WarmStart(w=self.nlp.pack(X, U, s), lam=carry.lam,
                          zl=carry.zl, zu=carry.zu, mu=mu, valid=carry.valid)

@@ -1,4 +1,5 @@
-from .problem import (Box, Dims, MPCSpec, PathConstraint, StageCost, runtime,
-                      equality_constraint, inequality_constraint,
-                      interval_constraint)
+from .problem import (Box, Dims, MPCSpec, PathConstraint, StageCost,
+                      StageConstraint, runtime, equality_constraint,
+                      inequality_constraint, interval_constraint,
+                      stage_inequality, stage_interval, expand_constraint)
 from .transcription import NLP, transcribe

@@ -161,6 +161,71 @@ class PathConstraint:
         return INTER_TYPE
 
 
+@dataclasses.dataclass(frozen=True)
+class StageConstraint:
+    """A *stage-wise* path constraint ``lb <= g(x_{t+1}, u_t, p, tvp_t) <= ub``
+    applied at every stage t (total H·dim rows).
+
+    ``stage(x:(x_dim,), u:(u_dim,), p, tvp_t) -> (dim,)`` — the same
+    single-stage signature as :class:`StageCost.stage` (x is the post-step
+    decision state of the stage).  Declaring the stage structure is what
+    keeps the O(H) Riccati KKT backend eligible: stage-wise rows are
+    block-structured — their slack-eliminated Σ folds into the per-stage
+    Hessian blocks, exactly like box bounds — whereas an opaque
+    trajectory-level :class:`PathConstraint` forces the dense backend.
+    This covers the reference's per-timestep user constraints
+    (``/root/reference/pyNeuralEMPC/optimizer/ipopt.py:44-52`` appends them
+    below the defect rows and hands them to Ipopt's sparse solver).
+
+    ``lb``/``ub`` are per-stage-row float tuples (length ``dim``).
+    Instances are callable with full trajectories (batched-over-time
+    contract), returning (H, dim).
+    """
+
+    stage: Callable
+    dim: int
+    lb: Tuple[float, ...]
+    ub: Tuple[float, ...]
+
+    def __post_init__(self):
+        if len(self.lb) != self.dim or len(self.ub) != self.dim:
+            raise ValueError("StageConstraint bounds must have length == dim")
+        if any(l > u for l, u in zip(self.lb, self.ub)):
+            raise ValueError("StageConstraint has lower > upper bound")
+
+    def row_types(self) -> np.ndarray:
+        """Per-stage-row classification (same rules as PathConstraint)."""
+        lb = np.asarray(self.lb)
+        ub = np.asarray(self.ub)
+        types = np.full(self.dim, INTER_TYPE)
+        types[np.isclose(lb, ub)] = EQ_TYPE
+        types[(lb == 0.0) & np.isinf(ub)] = INEQ_TYPE
+        return types
+
+    def __call__(self, x, u, p=None, tvp=None):
+        import jax
+        from ..models.base import _call_user_fn
+
+        def one(x_t, u_t, tvp_t):
+            return jnp.atleast_1d(_call_user_fn(self.stage, x_t, u_t, p,
+                                                tvp_t))
+
+        tvp_axis = None if tvp is None else 0
+        return jax.vmap(one, in_axes=(0, 0, tvp_axis))(x, u, tvp)
+
+
+def stage_inequality(fn: Callable, dim: int = 1) -> StageConstraint:
+    """g(x_t, u_t) >= 0 at every stage."""
+    return StageConstraint(stage=fn, dim=dim, lb=(0.0,) * dim,
+                           ub=(float("inf"),) * dim)
+
+
+def stage_interval(fn: Callable, dim: int, lb, ub) -> StageConstraint:
+    lb = tuple(float(v) for v in np.broadcast_to(np.asarray(lb, float), (dim,)))
+    ub = tuple(float(v) for v in np.broadcast_to(np.asarray(ub, float), (dim,)))
+    return StageConstraint(stage=fn, dim=dim, lb=lb, ub=ub)
+
+
 def equality_constraint(fn: Callable, dim: int) -> PathConstraint:
     """g(x, u, p, tvp) = 0 (reference ``EqualityConstraint``,
     ``constraints.py:66-81``)."""
@@ -178,6 +243,26 @@ def interval_constraint(fn: Callable, dim: int, lb, ub) -> PathConstraint:
     lb = tuple(float(v) for v in np.broadcast_to(np.asarray(lb, float), (dim,)))
     ub = tuple(float(v) for v in np.broadcast_to(np.asarray(ub, float), (dim,)))
     return PathConstraint(fn=fn, dim=dim, lb=lb, ub=ub)
+
+
+def expand_constraint(pc, H: int):
+    """Normalise a Path/Stage constraint to trajectory-level rows.
+
+    Returns ``(traj_fn, n_rows, row_types, lb, ub)`` where
+    ``traj_fn(X, U, p, tvp) -> (n_rows,)`` and the bound/type arrays have
+    length ``n_rows`` (a StageConstraint's per-stage rows tile ×H in
+    stage-major order: rows [t·dim, (t+1)·dim) belong to stage t)."""
+    if isinstance(pc, StageConstraint):
+        def traj_fn(X, U, p, tvp, _pc=pc):
+            return _pc(X, U, p, tvp).reshape(-1)
+        return (traj_fn, H * pc.dim, np.tile(pc.row_types(), H),
+                np.tile(np.asarray(pc.lb, np.float64), H),
+                np.tile(np.asarray(pc.ub, np.float64), H))
+    def traj_fn(X, U, p, tvp, _pc=pc):
+        from ..models.base import _call_user_fn
+        return _call_user_fn(_pc.fn, X, U, p, tvp).reshape(-1)
+    return (traj_fn, pc.dim, pc.row_types(),
+            np.asarray(pc.lb, np.float64), np.asarray(pc.ub, np.float64))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,7 +340,7 @@ class MPCSpec:
 
     @property
     def n_slack(self) -> int:
-        return sum(int((pc.row_types() != EQ_TYPE).sum())
+        return sum(int((expand_constraint(pc, self.H)[2] != EQ_TYPE).sum())
                    for pc in self.path_constraints)
 
     @property

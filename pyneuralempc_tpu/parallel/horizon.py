@@ -114,7 +114,8 @@ def make_sharded_sweep(mesh: Mesh) -> Callable:
             # shards (composed) to (0, 0) == take J/eta of their composite.
             my = jax.lax.axis_index("horizon")
             ident = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, ("horizon", "scenario")),
+                lambda x: jax.lax.pcast(x, ("horizon", "scenario"),
+                                        to="varying"),
                 _identity_elem(nx, A.dtype))
 
             def fold(i, acc):
@@ -155,7 +156,8 @@ def make_sharded_sweep(mesh: Mesh) -> Callable:
             # boundary dx at my left edge: compose earlier shards in
             # increasing time order
             I_f = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, ("horizon", "scenario")),
+                lambda x: jax.lax.pcast(x, ("horizon", "scenario"),
+                                        to="varying"),
                 (jnp.eye(nx, dtype=A.dtype), jnp.zeros((nx,), A.dtype)))
 
             def fold_f2(i, acc):

@@ -202,11 +202,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # dual residual well-conditioned for raw-unit problems (states
         # ~O(50) etc.).  The factor rides in rt["_s_obj"]; the Riccati
         # backend reads it too.
-        nlp = NLP(spec=nlp.spec, n=nlp.n, m=nlp.m,
-                  objective=lambda w, rt: (rt.get("_s_obj", 1.0)
-                                           * orig_nlp.objective(w, rt)),
-                  constraints=nlp.constraints, lower=nlp.lower,
-                  upper=nlp.upper, pack=nlp.pack, unpack=nlp.unpack)
+        nlp = dataclasses.replace(
+            nlp, objective=lambda w, rt: (rt.get("_s_obj", 1.0)
+                                          * orig_nlp.objective(w, rt)))
     n, m = nlp.n, nlp.m
     lb, ub = nlp.lower, nlp.upper
     dtype = lb.dtype

@@ -9,8 +9,11 @@ O((H·stage)³) LU, with per-stage derivative blocks obtained by ``vmap``'d
 autodiff (never a dense NLP matrix).
 
 Eligible problems: stage-separable cost (:class:`~pyneuralempc_tpu.core.
-problem.StageCost`) and box-only constraints (no general path constraints
-yet — those stay on the dense backend).
+problem.StageCost`), box bounds, and stage-wise path constraints
+(:class:`~pyneuralempc_tpu.core.problem.StageConstraint`, inequality /
+interval rows) — their slack blocks eliminate per stage and fold into the
+sweep (see :func:`make_riccati_direction`).  Opaque trajectory-level
+constraints stay on the dense backend.
 
 Derivation.  The condensed IP Newton step solves
 
@@ -47,7 +50,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..core.problem import StageCost
+from ..core.problem import EQ_TYPE, StageConstraint, StageCost
 from ..core.transcription import NLP
 from ..models.base import _call_user_fn
 from ..ops.integrators import step_fn
@@ -129,10 +132,19 @@ def riccati_sweep_ref(A, B, G, M, m_x, m_u, c, delta):
 
 
 def eligible(nlp: NLP) -> bool:
+    """Riccati eligibility: a stage-separable cost, and every path
+    constraint stage-wise (:class:`StageConstraint`) with no equality rows
+    — EQ rows carry no slack to eliminate, so they would add genuine extra
+    equality blocks to the stage KKT (dense backend handles those).
+    Inequality/interval stage rows fold into the sweep: their slack Σ and
+    right-hand side condense into the per-stage Hessian blocks exactly like
+    box bounds (see :func:`make_riccati_direction`)."""
     spec = nlp.spec
     return (spec is not None
             and isinstance(spec.objective, StageCost)
-            and len(spec.path_constraints) == 0)
+            and all(isinstance(pc, StageConstraint)
+                    and not (pc.row_types() == EQ_TYPE).any()
+                    for pc in spec.path_constraints))
 
 
 def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
@@ -145,13 +157,24 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
     """
     if not eligible(nlp):
         raise ValueError(
-            "Riccati KKT backend needs a StageCost objective and no general "
-            "path constraints (box bounds only); use the dense backend.")
+            "Riccati KKT backend needs a StageCost objective and stage-wise "
+            "path constraints (StageConstraint, no equality rows); opaque "
+            "trajectory-level PathConstraints fall to the dense backend.")
     the_sweep = sweep_impl if sweep_impl is not None else riccati_sweep
     spec = nlp.spec
     H, nx, nu = spec.H, spec.dims.x, spec.dims.u
+    n_primal = spec.n_primal
     phi = step_fn(spec.model, spec.integrator, spec.DT)
     stage_cost = spec.objective
+    # Stage-wise path constraints: (pc, r, off) with ``off`` the shared
+    # offset of this pc's H·r rows within BOTH the slack segment of w and
+    # the post-defect rows of C/λ (identical because every row is non-EQ,
+    # so rows and slacks are 1:1 — see transcription slack lifting).
+    pcs = []
+    _off = 0
+    for pc in spec.path_constraints:
+        pcs.append((pc, pc.dim, _off))
+        _off += H * pc.dim
 
     def phi1(x, u, p, tvp_t, params):
         """Single-stage step: (nx,), (nu,) -> (nx,)."""
@@ -161,7 +184,7 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
     def stage_blocks(w, lam, rt):
         X, U, _ = nlp.unpack(w)
         xprev = shift_states(rt["x0"], X)
-        lam_t = lam.reshape(H, nx)
+        lam_t = lam[: H * nx].reshape(H, nx)   # defect multipliers only
         tvp = rt["tvp"]
         p, params = rt["p"], rt.get("params")
 
@@ -214,13 +237,39 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         s_obj = rt.get("_s_obj")
         if s_obj is not None:
             M = M * s_obj
-        return A, B, G, M
+
+        # Stage-constraint blocks: per-stage Jacobian J_g = ∂g/∂(x_{t+1},
+        # u_t) and (exact mode) curvature ν_tᵀ∇²g_t — same fused
+        # jacfwd-over-vjp trick as the defect blocks.  Curvature joins M
+        # AFTER s_obj scaling: it is Lagrangian curvature, not objective.
+        Jgs = []
+        for pc, r, off in pcs:
+            nu_rows = lam[H * nx + off: H * nx + off + H * r].reshape(H, r)
+
+            def pc_one(x_n, u_t, nu_t, tvp_t, _pc=pc, _r=r):
+                gfun = lambda z: jnp.atleast_1d(
+                    _call_user_fn(_pc.stage, z[:nx], z[nx:], p, tvp_t))
+                z = jnp.concatenate([x_n, u_t])
+                if cfg.hessian == "exact":
+                    def grad_and_val(zz):
+                        v, vjp = jax.vjp(gfun, zz)
+                        return vjp(nu_t)[0], v
+                    Cv, Jg = jax.jacfwd(grad_and_val)(z)
+                    return Jg, Cv
+                Jg = jax.jacfwd(gfun)(z)
+                return Jg, jnp.zeros((nx + nu, nx + nu), Jg.dtype)
+
+            Jg, Cv = jax.vmap(pc_one, in_axes=(0, 0, 0, tvp_ax))(
+                X, U, nu_rows, tvp)
+            M = M + Cv
+            Jgs.append(Jg)
+        return A, B, G, M, Jgs
 
     def direction(w, lam, rt, Sigma, r_tilde, c_full):
         """Returns ``(dw, dlam, ok, resolve)``; ``resolve(r_tilde2, c2)``
         re-solves with the SAME stage blocks (the expensive autodiff) and a
         new right-hand side — the second-order-correction hook."""
-        A, B, G, M = stage_blocks(w, lam, rt)
+        A, B, G, M, Jgs = stage_blocks(w, lam, rt)
 
         # fold Σ into the stage cost Hessian diagonal
         ix = jnp.arange(nx)
@@ -231,6 +280,25 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
                                          0.0, 1e10))
         M = M.at[:, nx + iu, nx + iu].add(
             jnp.clip(jnp.nan_to_num(Sig_u, posinf=1e10), 0.0, 1e10))
+
+        # Stage-constraint slack elimination (the stage-wise analog of box
+        # Σ folding).  With slack rows  g_t(x_{t+1}, u_t) − s_t = −c_g and
+        # slack stationarity  Σ_s Δs − Δν = −r̃_s, eliminating (Δs, Δν)
+        # condenses into the stage blocks:
+        #     M_t += J_gᵀ Σ_s J_g
+        #     m_t += J_gᵀ (Σ_s ∘ c_g + r̃_s)
+        # and the eliminated steps are recovered after the sweep as
+        #     Δs = J_g Δ(x,u) + c_g,   Δν = Σ_s ∘ Δs + r̃_s.
+        # (δ regularisation is applied to the (x,u) block only — Σ_s > 0
+        # keeps the slack elimination well-posed at δ=0.)
+        Sig_ss = []
+        for (pc, r, off), Jg in zip(pcs, Jgs):
+            Sig_s = Sigma[n_primal + off: n_primal + off + H * r
+                          ].reshape(H, r)
+            Sig_s = jnp.clip(jnp.nan_to_num(Sig_s, posinf=1e10), 0.0, 1e10)
+            M = M + jnp.einsum("trn,tr,trm->tnm", Jg, Sig_s, Jg)
+            Sig_ss.append(Sig_s)
+
         G = jnp.nan_to_num(G, posinf=1e10, neginf=-1e10)
         M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
 
@@ -242,15 +310,36 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
             line-search loop (the SOC call): a δ-retry while nested there
             faults the TPU compiler at fleet batch sizes (observed at
             B>=1024, H=50, 12-state)."""
-            c2 = c2_full.reshape(H, nx)
+            c2 = c2_full[: H * nx].reshape(H, nx)
             m_x = r_tilde2[: H * nx].reshape(H, nx)
             m_u = r_tilde2[H * nx: H * (nx + nu)].reshape(H, nu)
+            cgs, rss = [], []
+            for (pc, r, off), Jg, Sig_s in zip(pcs, Jgs, Sig_ss):
+                cg = c2_full[H * nx + off: H * nx + off + H * r
+                             ].reshape(H, r)
+                rs = r_tilde2[n_primal + off: n_primal + off + H * r
+                              ].reshape(H, r)
+                d = jnp.einsum("trn,tr->tn", Jg, Sig_s * cg + rs)
+                m_x = m_x + d[:, :nx]
+                m_u = m_u + d[:, nx:]
+                cgs.append(cg)
+                rss.append(rs)
 
             def sweep(delta):
                 dX, dU, dLam, okc = the_sweep(A, B, G, M, m_x, m_u, c2,
                                               delta)
-                dw = nlp.pack(dX, dU)
-                dlam = dLam.reshape(-1)
+                if pcs:
+                    dxu = jnp.concatenate([dX, dU], axis=1)
+                    ds_parts, dnu_parts = [], []
+                    for Jg, Sig_s, cg, rs in zip(Jgs, Sig_ss, cgs, rss):
+                        ds = jnp.einsum("trn,tn->tr", Jg, dxu) + cg
+                        ds_parts.append(ds.reshape(-1))
+                        dnu_parts.append((Sig_s * ds + rs).reshape(-1))
+                    dw = nlp.pack(dX, dU, jnp.concatenate(ds_parts))
+                    dlam = jnp.concatenate([dLam.reshape(-1)] + dnu_parts)
+                else:
+                    dw = nlp.pack(dX, dU)
+                    dlam = dLam.reshape(-1)
                 ok = (okc & jnp.all(jnp.isfinite(dw))
                       & jnp.all(jnp.isfinite(dlam)))
                 return dw, dlam, ok
