@@ -48,6 +48,7 @@ class NMPCResult(NamedTuple):
     slack: Any        # (n_slack,) path-constraint slacks
     theta: Any        # final max constraint violation ‖C‖∞
     feasible: Any     # bool: theta <= tol
+    restorations: Any = 0   # solver iterations spent in restoration
 
 
 class WarmStart(NamedTuple):
@@ -103,6 +104,19 @@ class NMPC:
         box, path = _split_constraints(constraints)
         if box is None:
             box = Box.unbounded(model.dims.x, model.dims.u)
+        # Structure auto-detection (reference empirical-probe idea,
+        # integrator/base.py:89-115): a plain-callable cost that probes
+        # stage-separable is certified so the O(H) Riccati backend stays
+        # eligible — the user should not silently pay dense O((H·ns)³)
+        # for writing the reference's native `lambda x, u:` idiom.
+        from ..core.problem import StageCost
+        from ..core.structure import (SeparableObjective,
+                                      probe_stage_separable)
+        if (getattr(config, "kkt", None) == "auto"
+                and not isinstance(objective,
+                                   (StageCost, SeparableObjective))
+                and probe_stage_separable(objective, model.dims, H)):
+            objective = SeparableObjective(fn=objective)
         self.spec = MPCSpec(model=model, integrator=integrator,
                             objective=objective, box=box,
                             path_constraints=path, H=H, DT=DT)
@@ -153,6 +167,15 @@ class NMPC:
                 self.kkt_backend = config.kkt
             else:
                 self.kkt_backend = "riccati" if direction else "dense"
+            if self.kkt_backend == "dense" and config.kkt == "auto" \
+                    and H >= 30:
+                import warnings
+                warnings.warn(
+                    f"H={H} falls to the dense O((H·(nx+nu))³) KKT backend "
+                    "(objective probes stage-coupled, or a trajectory-level "
+                    "PathConstraint is present). Declare StageCost / "
+                    "StageConstraint structure to keep the O(H) Riccati "
+                    "backend.", stacklevel=2)
             if differentiable:
                 # gradients flow through step()/next_batch() results via
                 # the implicit function theorem (solve/diff.py)
@@ -226,7 +249,8 @@ class NMPC:
         out = NMPCResult(x=X, u=U, converged=res.converged,
                          iterations=res.iterations, kkt_error=res.kkt_error,
                          objective=res.objective, slack=s,
-                         theta=res.theta, feasible=res.feasible)
+                         theta=res.theta, feasible=res.feasible,
+                         restorations=getattr(res, "restorations", 0))
         new_carry = WarmStart(w=res.w, lam=res.lam, zl=res.zl, zu=res.zu,
                               mu=res.mu, valid=res.converged)
         return new_carry, out
@@ -342,7 +366,8 @@ class NMPC:
                           kkt_error=res.kkt_error[idx],
                           objective=res.objective[idx],
                           slack=res.slack[idx],
-                          theta=res.theta[idx], feasible=res.feasible[idx])
+                          theta=res.theta[idx], feasible=res.feasible[idx],
+                          restorations=res.restorations[idx])
 
     # ---- validation (reference controller.py:67-84 semantics) ----
 

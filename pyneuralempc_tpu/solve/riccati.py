@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.problem import EQ_TYPE, StageConstraint, StageCost
+from ..core.structure import SeparableObjective
 from ..core.transcription import NLP
 from ..models.base import _call_user_fn
 from ..ops.integrators import step_fn
@@ -132,16 +133,18 @@ def riccati_sweep_ref(A, B, G, M, m_x, m_u, c, delta):
 
 
 def eligible(nlp: NLP) -> bool:
-    """Riccati eligibility: a stage-separable cost, and every path
-    constraint stage-wise (:class:`StageConstraint`) with no equality rows
-    — EQ rows carry no slack to eliminate, so they would add genuine extra
-    equality blocks to the stage KKT (dense backend handles those).
-    Inequality/interval stage rows fold into the sweep: their slack Σ and
-    right-hand side condense into the per-stage Hessian blocks exactly like
-    box bounds (see :func:`make_riccati_direction`)."""
+    """Riccati eligibility: a stage-separable cost — declared
+    (:class:`StageCost`) or probe-certified
+    (:class:`~pyneuralempc_tpu.core.structure.SeparableObjective`) — and
+    every path constraint stage-wise (:class:`StageConstraint`) with no
+    equality rows — EQ rows carry no slack to eliminate, so they would add
+    genuine extra equality blocks to the stage KKT (dense backend handles
+    those).  Inequality/interval stage rows fold into the sweep: their
+    slack Σ and right-hand side condense into the per-stage Hessian blocks
+    exactly like box bounds (see :func:`make_riccati_direction`)."""
     spec = nlp.spec
     return (spec is not None
-            and isinstance(spec.objective, StageCost)
+            and isinstance(spec.objective, (StageCost, SeparableObjective))
             and all(isinstance(pc, StageConstraint)
                     and not (pc.row_types() == EQ_TYPE).any()
                     for pc in spec.path_constraints))
@@ -218,20 +221,36 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         A, B, G = jax.vmap(per_stage, in_axes=(0, 0, 0, tvp_ax))(
             xprev, U, lam_t, tvp)
 
-        def cost_stage(x_n, u_t, tvp_t):
-            return _call_user_fn(stage_cost.stage, x_n, u_t, p, tvp_t)
+        if isinstance(stage_cost, StageCost):
+            def cost_stage(x_n, u_t, tvp_t):
+                return _call_user_fn(stage_cost.stage, x_n, u_t, p, tvp_t)
 
-        def cost_blocks(x_n, u_t, tvp_t):
-            f = lambda z: cost_stage(z[:nx], z[nx:], tvp_t)
-            z = jnp.concatenate([x_n, u_t])
-            return jax.hessian(f)(z)                   # over (x_{t+1}, u_t)
+            def cost_blocks(x_n, u_t, tvp_t):
+                f = lambda z: cost_stage(z[:nx], z[nx:], tvp_t)
+                z = jnp.concatenate([x_n, u_t])
+                return jax.hessian(f)(z)               # over (x_{t+1}, u_t)
 
-        M = jax.vmap(cost_blocks, in_axes=(0, 0, tvp_ax))(X, U, tvp)
-        if stage_cost.terminal is not None:
-            term_h = jax.hessian(
-                lambda xH: (stage_cost.terminal(xH, p) if p is not None
-                            else stage_cost.terminal(xH)))(X[-1])
-            M = M.at[-1, :nx, :nx].add(term_h)
+            M = jax.vmap(cost_blocks, in_axes=(0, 0, tvp_ax))(X, U, tvp)
+            if stage_cost.terminal is not None:
+                term_h = jax.hessian(
+                    lambda xH: (stage_cost.terminal(xH, p) if p is not None
+                                else stage_cost.terminal(xH)))(X[-1])
+                M = M.at[-1, :nx, :nx].add(term_h)
+        else:
+            # Probe-certified SeparableObjective: there is no per-stage
+            # l(x, u) to call, but separability means the full J's Hessian
+            # is block-diagonal over stages — each diagonal block is the
+            # Hessian of J restricted to that stage's variables (any
+            # terminal term lands in the last block automatically).
+            def restricted_block(t):
+                def f(z):
+                    X2 = X.at[t].set(z[:nx])
+                    U2 = U.at[t].set(z[nx:])
+                    return _call_user_fn(stage_cost, X2, U2, p, tvp)
+                z = jnp.concatenate([X[t], U[t]])
+                return jax.hessian(f)(z)
+
+            M = jax.vmap(restricted_block)(jnp.arange(H))
         # objective auto-scaling (see interior_point.make_solver): the
         # cost curvature must match the scaled gradient in r_tilde.
         s_obj = rt.get("_s_obj")

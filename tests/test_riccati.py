@@ -46,12 +46,16 @@ def test_eligibility():
     mpc = make_mpc()
     assert mpc.kkt_backend == "riccati"
     assert eligible(mpc.nlp)
-    # plain-callable objective -> dense
+    # plain-callable SEPARABLE objective -> probe certifies it -> riccati
     model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
     box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
                                  control_constraint=[[-1.0, 1.0]])
     mpc2 = nempc.NMPC(model, lambda x, u: jnp.sum(u), [box], H=4, DT=0.1)
-    assert mpc2.kkt_backend == "dense"
+    assert mpc2.kkt_backend == "riccati"
+    # genuinely stage-COUPLED objective -> dense fallback
+    mpc3 = nempc.NMPC(model, lambda x, u: jnp.sum(u) + x[0, 0] * x[-1, 0],
+                      [box], H=4, DT=0.1)
+    assert mpc3.kkt_backend == "dense"
 
 
 def test_direction_matches_dense():
