@@ -114,6 +114,20 @@ class IPConfig:
                                    # backtracking — Ipopt's Maratos remedy.
                                    # Costs nothing on iterations that accept
                                    # the full step.
+    watchdog: int = 6              # feasibility-restoration watchdog: if θ
+                                   # makes no relative progress for this many
+                                   # consecutive iterations (while still
+                                   # infeasible), the member switches to a
+                                   # restoration step — the SAME KKT solve
+                                   # with the dual-gradient rhs masked to
+                                   # zero, i.e. the minimum-curvature-norm
+                                   # step onto the linearised constraint
+                                   # manifold — accepted on pure θ descent.
+                                   # This is the fixed-shape, per-member
+                                   # analog of Ipopt's restoration phase
+                                   # (which the reference inherits via
+                                   # cyipopt, optimizer/ipopt.py:162-189).
+                                   # 0 disables.
     theta_noise_per_row: float = 3e-7
     # f32 noise floor of one constraint row, relative to (1+‖w‖∞).  When θ
     # sits at its float noise floor, the ν‖C‖₁ merit term is ±noise·ν —
@@ -154,6 +168,9 @@ class IPState(NamedTuple):
     done: Any          # bool: converged or failed
     converged: Any     # bool
     kkt_error: Any
+    th_best: Any       # best θ seen (restoration watchdog reference)
+    stall: Any         # consecutive iterations without θ progress
+    n_restore: Any     # iterations spent in restoration mode
 
 
 class IPResult(NamedTuple):
@@ -178,6 +195,7 @@ class IPResult(NamedTuple):
     objective: Any
     theta: Any        # final max constraint violation ‖C(w)‖∞
     feasible: Any     # bool: theta <= tol
+    restorations: Any = 0  # iterations spent in the restoration phase
 
 
 def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
@@ -260,12 +278,15 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         z_sum = jnp.sum(jnp.abs(lam)) + jnp.sum(zl) + jnp.sum(zu)
         s_d = jnp.maximum(s_max, z_sum / (m + n_bounds)) / s_max
         s_c = jnp.maximum(s_max, (jnp.sum(zl) + jnp.sum(zu)) / n_bounds) / s_max
-        return jnp.maximum(
+        err = jnp.maximum(
             jnp.max(jnp.abs(r_d)) / s_d,
             jnp.maximum(
                 jnp.max(jnp.abs(c)) if m else 0.0,
                 jnp.maximum(jnp.max(jnp.abs(comp_l)), jnp.max(jnp.abs(comp_u))) / s_c,
             ))
+        # a non-finite residual (iterate wandered into model blow-up
+        # territory) must read as "large", not poison min-tracking with NaN
+        return jnp.where(jnp.isfinite(err), err, _BIG)
 
     def init_state(rt, w0, lam0, zl0, zu0, mu0):
         # Interior push (Ipopt κ₁ rule): keep w0 strictly inside its box.
@@ -294,7 +315,10 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                        it=jnp.asarray(0, jnp.int32),
                        done=jnp.asarray(False),
                        converged=jnp.asarray(False),
-                       kkt_error=jnp.asarray(jnp.inf, dtype))
+                       kkt_error=jnp.asarray(jnp.inf, dtype),
+                       th_best=jnp.asarray(jnp.inf, dtype),
+                       stall=jnp.asarray(0, jnp.int32),
+                       n_restore=jnp.asarray(0, jnp.int32))
 
     deltas = jnp.asarray(_DELTAS, dtype)
     eye_n = jnp.eye(n, dtype=dtype)
@@ -419,6 +443,30 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                                         mu ** cfg.theta_mu)),
                 mu)
 
+        # --- feasibility-restoration watchdog (Ipopt restoration-phase
+        # analog, fixed-shape per-member).  If θ makes no relative progress
+        # for cfg.watchdog consecutive iterations while still infeasible,
+        # this iteration's dual-gradient rhs is masked to zero, turning the
+        # SAME KKT solve into the restoration direction
+        #     min ½ΔwᵀHΔw  s.t.  AΔw = −c
+        # (the minimum-curvature-norm step onto the linearised constraint
+        # manifold), accepted on pure θ descent in the line search.  Zero
+        # extra factorisations: the mask rides the per-member rhs.
+        th0 = jnp.minimum(jnp.nan_to_num(jnp.sum(jnp.abs(c)), nan=_BIG),
+                          _BIG)
+        slack = (cfg.theta_noise_per_row * jnp.asarray(max(m, 1), dtype)
+                 * (1.0 + jnp.max(jnp.abs(w))))
+        th_ok = th0 <= jnp.maximum(slack, cfg.tol)
+        if cfg.watchdog > 0:
+            progress = th0 <= 0.95 * state.th_best
+            restore = (state.stall >= cfg.watchdog) & ~th_ok
+            stall_new = jnp.where(progress | th_ok | restore, 0,
+                                  state.stall + 1)
+        else:
+            restore = jnp.asarray(False)
+            stall_new = state.stall
+        th_best_new = jnp.minimum(state.th_best, th0)
+
         # --- Newton direction on the condensed KKT system ---
         Sigma = (jnp.where(has_lb, zl / sl, 0.0)
                  + jnp.where(has_ub, zu / su, 0.0))
@@ -466,21 +514,36 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             r_tilde = (g + ATlam
                        - jnp.where(has_lb, (mu - corr_l) / sl, 0.0)
                        + jnp.where(has_ub, (mu - corr_u) / su, 0.0))
+            r_tilde = jnp.where(restore, 0.0, r_tilde)
             dw, dlam, ok = resolve_kkt(r_tilde, c)
         else:
             r_tilde = (g + ATlam
                        - jnp.where(has_lb, mu / sl, 0.0)
                        + jnp.where(has_ub, mu / su, 0.0))
+            r_tilde = jnp.where(restore, 0.0, r_tilde)
             dw, dlam, ok, resolve_kkt = direction_fn(w, lam, rt, Sigma,
                                                      r_tilde, c)
         # Fallback when even max regularisation fails: scaled steepest
         # descent on the barrier merit, so the iterate keeps moving instead
         # of stalling forever (the reference's analog is SLSQP's
         # retry-with-relaxed-tol loop, slsqp.py:178-194).
-        r_safe = jnp.nan_to_num(r_tilde)
+        # (restoration members descend on ½‖C‖² instead: −Aᵀc)
+        r_safe = jnp.where(restore, jnp.nan_to_num(cons_vjp(c)[0]),
+                           jnp.nan_to_num(r_tilde))
         dw_sd = -r_safe / (1.0 + jnp.max(jnp.abs(r_safe)))
         dw = jnp.where(ok, dw, dw_sd)
         dlam = jnp.where(ok, dlam, jnp.zeros_like(dlam))
+        # Trust-region cap on restoration steps: the δ=0 least-norm step
+        # onto the linearised manifold of a (locally) infeasible problem
+        # can be enormous; even its backtracked fractions would leave the
+        # model's sane region.
+        cap = 10.0 * (1.0 + jnp.max(jnp.abs(w)))
+        scale_r = jnp.minimum(
+            1.0, cap / jnp.maximum(jnp.max(jnp.abs(dw)), 1e-30))
+        dw = jnp.where(restore, dw * scale_r, dw)
+        # Restoration leaves the equality duals untouched — the masked
+        # system's Δλ belongs to the restoration subproblem, not the NLP.
+        dlam = jnp.where(restore, 0.0, dlam)
         dzl = jnp.where(has_lb,
                         (mu - corr_l) / sl - zl - (zl / sl) * dw, 0.0)
         dzu = jnp.where(has_ub,
@@ -498,9 +561,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         alpha_dual = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl), jnp.min(a_zu)))
 
         # --- merit line search on a fixed fan of step lengths ---
-        # (θ at the current point comes from the already-evaluated c)
-        th0 = jnp.minimum(jnp.nan_to_num(jnp.sum(jnp.abs(c)), nan=_BIG),
-                          _BIG)
+        # (θ/slack at the current point already computed by the watchdog)
         nu = jnp.clip(jnp.maximum(nu, 1.1 * jnp.max(jnp.abs(lam + dlam)) + 1.0),
                       cfg.nu_init, 1e5)
         phi0 = barrier_value(w, rt, mu)
@@ -513,8 +574,6 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # `slack` (per-row noise × rows × iterate scale); there the merit's
         # ν‖C‖₁ term carries no information and steps are judged on the
         # barrier function alone (see IPConfig.theta_noise_per_row).
-        slack = (cfg.theta_noise_per_row * jnp.asarray(max(m, 1), dtype)
-                 * (1.0 + jnp.max(jnp.abs(w))))
         D_phi = jnp.dot(grad_phi, dw)
         ftype = (th0 <= slack) & (D_phi < 0)
 
@@ -555,8 +614,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                              jnp.asarray(False)))
                 # SOC applies on pass 1 to members whose full-step trial
                 # increased the constraint violation (curvature-dominated
-                # rejection — the Maratos case).
-                use_soc = (j == 1) & (th1 >= th0) & ok_s
+                # rejection — the Maratos case).  Not during restoration.
+                use_soc = (j == 1) & (th1 >= th0) & ok_s & ~restore
             else:
                 dw_s, dlam_s = dw, dlam
                 use_soc = jnp.asarray(False)
@@ -574,13 +633,24 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                       + cfg.armijo_eta * a_ref * jnp.minimum(D, 0.0))
             ok_f = (ftype & (th_j <= slack)
                     & (phi_j <= phi0 + cfg.armijo_eta * a_j * D_phi))
-            ok_j = ok_std | ok_f
+            # restoration acceptance: pure θ descent (the linearised model
+            # predicts θ·(1−α), so Armijo on that), interior via ftb as
+            # usual; the barrier/merit play no role.
+            ok_rest = th_j <= (1.0 - cfg.armijo_eta * a_ref) * th0
+            ok_j = jnp.where(restore, ok_rest, ok_std | ok_f)
             th1 = jnp.where(j == 0, th_j, th1)
             c1 = jnp.where(j == 0, c_j, c1)
             bt = bt + jnp.where(use_soc | ok_j, 0, 1)
+            # Fallback on the final pass: take the smallest-α candidate
+            # even without Armijo — but only if it is finite (a step into
+            # model blow-up territory is worse than standing still).
+            finite_j = (th_j < _BIG) & (phi_j < _BIG)
+            take = ok_j | ((j == n_pass - 1) & finite_j)
+            step_w = jnp.where(take, a_j * d_j, step_w)
+            step_lam = jnp.where(take, a_j * dl_j, step_lam)
             # j increments uniformly (stays unbatched under vmap); members
             # that accept are frozen by the while_loop's batching select.
-            return (j + 1, bt, a_j * d_j, acc | ok_j, a_j * dl_j, th1, c1)
+            return (j + 1, bt, step_w, acc | take, step_lam, th1, c1)
 
         init = (jnp.asarray(0, jnp.int32), jnp.zeros((), jnp.int32),
                 jnp.zeros_like(w), jnp.asarray(False), jnp.zeros_like(lam),
@@ -639,12 +709,16 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                       nu=nu, it=state.it + 1,
                       done=state.done | converged,
                       converged=state.converged | converged,
-                      kkt_error=jnp.minimum(err_0, state.kkt_error))
+                      kkt_error=jnp.minimum(err_0, state.kkt_error),
+                      th_best=th_best_new, stall=stall_new,
+                      n_restore=state.n_restore + restore.astype(jnp.int32))
         frozen = IPState(w=state.w, lam=state.lam, zl=state.zl, zu=state.zu,
                          mu=state.mu, nu=state.nu, it=state.it,
                          done=state.done | converged,
                          converged=state.converged | converged,
-                         kkt_error=jnp.minimum(err_0, state.kkt_error))
+                         kkt_error=jnp.minimum(err_0, state.kkt_error),
+                         th_best=state.th_best, stall=state.stall,
+                         n_restore=state.n_restore)
         return IPState(*[jnp.where(keep, f, nn)
                          for f, nn in zip(frozen, new)])
 
@@ -700,7 +774,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                           kkt_error=jnp.minimum(err, state.kkt_error),
                           objective=orig_nlp.objective(state.w, rt),
                           theta=theta_inf,
-                          feasible=theta_inf <= cfg.tol)
+                          feasible=theta_inf <= cfg.tol,
+                          restorations=state.n_restore)
         if cfg.record:
             return result, trace
         return result

@@ -1,0 +1,85 @@
+"""Feasibility-restoration watchdog (interior_point.py cfg.watchdog).
+
+The fixed-shape analog of Ipopt's restoration phase, which the reference
+inherits via cyipopt (``optimizer/ipopt.py:162-189``): a member whose θ
+stalls while infeasible switches its KKT rhs to the pure feasibility
+problem and is judged on θ descent alone.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyneuralempc_tpu as nempc
+from pyneuralempc_tpu.core.problem import StageCost
+from pyneuralempc_tpu.solve.interior_point import IPConfig
+
+
+def make_infeasible_mpc(watchdog=6, max_iter=40):
+    """Unstable scalar plant with insufficient control authority: at the
+    state upper bound, xdot = 3·0.5 − u_max = 0.5 > 0 — no trajectory
+    from x0 = 0.45 can satisfy the dynamics inside the box.  The honest
+    outcome is converged=False, feasible=False (the local-infeasibility
+    certificate); the watchdog's job is to reach the best-θ point instead
+    of burning the cap on merit zigzags."""
+    f = lambda x, u: 3.0 * x + u  # noqa: E731
+    model = nempc.jax_dynamics(f, x_dim=1, u_dim=1)
+    cost = StageCost(stage=lambda x, u: jnp.sum(u ** 2)
+                     + 0.1 * jnp.sum(x ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-0.5, 0.5]],
+                                 control_constraint=[[-1.0, 1.0]])
+    return nempc.NMPC(model, cost, [box], H=20, DT=0.1, integrator="rk4",
+                      config=IPConfig(max_iter=max_iter, watchdog=watchdog))
+
+
+def solve_raw(mpc, x0):
+    carry = mpc.cold_start(jnp.asarray(x0))
+    rt = nempc.runtime(jnp.asarray(x0))
+    return mpc._solve(rt, carry.w, carry.lam, None, None, carry.mu)
+
+
+def test_infeasible_certificate_is_honest_and_finite():
+    res = solve_raw(make_infeasible_mpc(), [0.45])
+    assert not bool(res.converged)
+    assert not bool(res.feasible)
+    assert float(res.theta) > 1e-2
+    # the NaN regression: a stalled infeasible member must never poison
+    # kkt_error with NaN (jnp.minimum(nan, x) = nan)
+    assert np.isfinite(float(res.kkt_error))
+
+
+def test_watchdog_triggers_on_stall():
+    res = solve_raw(make_infeasible_mpc(watchdog=6), [0.45])
+    assert int(res.restorations) > 0          # the phase actually ran
+    res0 = solve_raw(make_infeasible_mpc(watchdog=0), [0.45])
+    assert int(res0.restorations) == 0        # and it is gateable
+    # restoration must reach a theta at least as good
+    assert float(res.theta) <= float(res0.theta) * 1.5
+
+
+def test_watchdog_silent_on_easy_problems():
+    """Feasible warm-startable problems must never enter restoration."""
+    def lv_f(x, u):
+        return jnp.concatenate(
+            [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+             -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4",
+                     config=IPConfig(watchdog=6))
+    res = solve_raw(mpc, [0.4, -0.5])
+    assert bool(res.converged)
+    assert int(res.restorations) == 0
+
+
+def test_batched_mixed_feasible_infeasible():
+    """One infeasible member must not poison a batch (SURVEY §5.3) and its
+    restoration iterations must stay per-member."""
+    import jax
+    mpc = make_infeasible_mpc(watchdog=6)
+    x0s = jnp.asarray([[0.45], [0.0], [-0.2]])  # only the first is doomed
+    carry, res = mpc.next_batch(x0s)
+    jax.block_until_ready(carry.w)
+    conv = np.asarray(res.converged)
+    assert not conv[0] and conv[1] and conv[2]
