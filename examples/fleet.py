@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard over this many devices (0 = no sharding)")
+    ap.add_argument("--closed-loop", type=int, default=0, metavar="T",
+                    help="also run a T-step on-device closed-loop fleet "
+                         "evaluation (cost + violations)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,37 @@ def main():
     print(f"warm fleet step: {dt_step*1e3:.0f}ms -> "
           f"{B/dt_step:,.0f} solves/s  "
           f"(converged {int(res.converged.sum())}/{B})")
+
+    if args.closed_loop:
+        # Config-5-shaped evaluation: the whole fleet closed loop —
+        # plant stepping, warm re-plans, failure policy — runs device-side
+        # as one lax.scan program (api/simulate.closed_loop_batch); the
+        # host only sees the final trajectories.
+        from pyneuralempc_tpu.api.simulate import (closed_loop_batch,
+                                                   plant_from_model)
+        plant = plant_from_model(truth, "rk4", DT)
+        T = args.closed_loop
+        t0 = time.perf_counter()
+        out = closed_loop_batch(mpc, plant, x0s, steps=T)
+        jax.block_until_ready(out.x)
+        dt = time.perf_counter() - t0
+        # closed-loop economic cost of the APPLIED trajectory
+        stage_v = jax.vmap(cost.stage)
+        cl_cost = jnp.sum(stage_v(out.x[1:].reshape(-1, 12),
+                                  out.u.reshape(-1, 4))
+                          .reshape(T, B), axis=0)
+        lb, ub = mpc.nlp.spec.box.tile(1)
+        lo = lb[:12][None, None]
+        hi = ub[:12][None, None]
+        viol = jnp.maximum(jnp.maximum(lo - out.x[1:], out.x[1:] - hi),
+                           0.0)
+        conv = np.asarray(out.converged)
+        print(f"closed loop: {T} steps x {B} plants in {dt:.1f}s "
+              f"({T*B/dt:,.0f} solves/s incl. compile)")
+        print(f"  mean closed-loop cost {float(cl_cost.mean()):.3f}  "
+              f"worst {float(cl_cost.max()):.3f}")
+        print(f"  max state-box violation {float(viol.max()):.2e}  "
+              f"solves converged {conv.sum()}/{conv.size}")
 
 
 if __name__ == "__main__":

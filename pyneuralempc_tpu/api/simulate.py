@@ -65,6 +65,108 @@ def closed_loop(mpc, plant_step: Callable, x0, steps: int,
         objective=np.asarray(objs))
 
 
+class FleetLoopResult(NamedTuple):
+    """Batched closed-loop rollout: leading axes are (n_solves|steps, B)."""
+    x: Any            # (steps+1, B, x_dim) plant trajectories
+    u: Any            # (steps, B, u_dim) applied controls
+    converged: Any    # (n_solves, B) per-solve flags
+    iterations: Any   # (n_solves, B)
+    objective: Any    # (n_solves, B) planned objective at each solve
+    theta: Any        # (n_solves, B) constraint violation at each solve
+
+
+def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
+                      replan_every: int = 1, p=None, params=None,
+                      plant_params=None) -> FleetLoopResult:
+    """Batched closed-loop MPC, fully on-device (one compiled program).
+
+    The single-plant :func:`closed_loop` is a host Python loop — fine for
+    one plant, but a fleet of thousands re-planning in lockstep (BASELINE
+    config 5's real workload) must not pay a host round-trip per step.
+    Here the whole loop — warm re-plan, per-member failure policy, plant
+    stepping — is a ``lax.scan`` over re-plan rounds; the only host syncs
+    are the initial transfer and the final fetch.
+
+    ``plant_step(x, u[, plant_params]) -> x_next`` on single vectors
+    (vmapped internally).  ``p``/``params`` are shared across the batch.
+    Failure policy matches :func:`closed_loop`: a member whose re-plan did
+    not converge keeps playing its previous plan (shifted to stay aligned
+    in time) while its warm carry keeps improving.
+
+    ``steps`` must be a multiple of ``replan_every`` (``replan_every``
+    controls are played from each plan between re-plans, the reference
+    example's cadence — ``run.py:121-143`` re-plans every 2 steps).
+    """
+    if steps % replan_every:
+        raise ValueError("steps must be a multiple of replan_every")
+    if replan_every > mpc.H:
+        raise ValueError("replan_every cannot exceed the horizon H")
+    n_replans = steps // replan_every
+    x0s = jnp.asarray(x0s)
+
+    from ..core.problem import runtime as _runtime
+
+    def vplant(x, u):
+        one = (lambda xx, uu: plant_step(xx, uu) if plant_params is None
+               else plant_step(xx, uu, plant_params))
+        return jax.vmap(one)(x, u)
+
+    def cold(x0, rt_):
+        c = mpc.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],
+                           params=rt_["params"])
+        return mpc._step(c, rt_)
+
+    axes = {"x0": 0, "p": None, "tvp": None, "params": None}
+    vcold = jax.vmap(cold, in_axes=(0, axes))
+    vwarm = jax.vmap(mpc._warm_step, in_axes=(0, axes))
+
+    def stats(res):
+        return (res.converged, res.iterations, res.objective, res.theta)
+
+    def run(x0s, rt):
+        carry, res = vcold(x0s, rt)
+        cold_stats = stats(res)
+
+        def body(st, _):
+            carry, x, plan_u = st
+            xs, us = [], []
+            for k in range(replan_every):
+                u_k = plan_u[:, k]
+                x = vplant(x, u_k)
+                xs.append(x)
+                us.append(u_k)
+            rt_t = dict(rt)
+            rt_t["x0"] = x
+            carry, res = vwarm(carry, rt_t)
+            # failure policy: non-converged members keep playing their
+            # previous plan, shifted by the controls just consumed
+            stale = jnp.concatenate(
+                [plan_u[:, replan_every:],
+                 jnp.repeat(plan_u[:, -1:], replan_every, axis=1)], axis=1)
+            plan_u = jnp.where(res.converged[:, None, None], res.u, stale)
+            return ((carry, x, plan_u),
+                    (jnp.stack(xs), jnp.stack(us), stats(res)))
+
+        (carry, x, _), (xs, us, warm_stats) = jax.lax.scan(
+            body, (carry, x0s, res.u), None, length=n_replans)
+        return carry, xs, us, cold_stats, warm_stats
+
+    carry, xs, us, cold_stats, warm_stats = jax.jit(run)(
+        x0s, _runtime(x0s, p=p, params=params))
+    B = x0s.shape[0]
+    # (n_replans, r, B, d) -> (steps, B, d); prepend x0
+    x_traj = jnp.concatenate([x0s[None], xs.reshape(steps, B, -1)])
+    u_traj = us.reshape(steps, B, -1)
+    # n_replans solves are *applied*: the cold plan + the first
+    # n_replans-1 warm plans (the last warm plan is returned in the
+    # stats but never played)
+    full = [jnp.concatenate([c[None], wseq]) for c, wseq in
+            zip(cold_stats, warm_stats)]
+    return FleetLoopResult(x=x_traj, u=u_traj, converged=full[0],
+                           iterations=full[1], objective=full[2],
+                           theta=full[3])
+
+
 def plant_from_model(model, integrator: str, dt: float,
                      params=None) -> Callable:
     """Wrap a dynamics model as a single-state plant step function."""
