@@ -1,198 +1,285 @@
-"""Fused batched Riccati sweep as a Pallas TPU kernel.
+"""Fused batched Riccati sweep as streamed Pallas TPU kernels.
 
 The structured KKT solve (solve/riccati.py) is a backward + forward scan of
 tiny matrix ops — exactly the shape XLA handles worst on TPU: H sequential
-steps of (B, n, n) matmuls with n ∈ {2..16}, each far below MXU tile size,
-so the scan becomes launch/latency-bound.  This kernel fuses the *entire*
-sweep (all H stages, both directions, the δ-regularised stage Cholesky and
-the ok-mask) into one Pallas program with the batch laid out on the VPU
-tile: 1024 problems per grid step as an (8, 128) tile per matrix element,
-so every vector op runs at full VPU width and all stage state lives in
-VMEM/registers.  The nu×nu stage Cholesky is fully unrolled tile-wise
-(supports any small nu; ok-mask tracks pivot positivity per problem).
+steps of (B, n, n) matmuls with n ∈ {3..16}, each far below MXU tile size,
+so the scan becomes launch/latency-bound.  These kernels fuse each whole
+direction of the sweep into one Pallas program with the batch laid out on
+the VPU tile: 1024 problems per grid group as an (8, 128) tile per matrix
+element, so every vector op runs at full VPU width.
 
-Layout: ``(rows, G, 8, 128)`` where rows flattens (t, i, j) and G indexes
-1024-problem groups; the grid runs over G.  The per-stage loop is a Python
-unroll (H is static), so the whole sweep is straight-line vector code.
+Streaming (v2): stage data is NOT held resident — the grid is
+``(batch_groups, H/CH)`` and Pallas's pipeline DMAs each CH-stage chunk's
+blocks HBM→VMEM (double-buffered) while the previous chunk computes.  The
+recursion carry (P, p / dx) lives in VMEM scratch, which persists across
+sequential grid steps; per-stage gain tensors stream back to HBM between
+the backward and forward passes.  CH adapts to the VMEM budget
+(:func:`_pick_chunk`): small stage dims get large chunks — and when the
+whole sweep fits (CH == H, e.g. LV size) both directions fuse into ONE
+kernel whose gain tensors never leave VMEM, recovering the v1 resident
+design exactly — while quadrotor-size stages (nx=12, ns=16) stream at
+CH=1 with O(ns²)-tile footprint regardless of H, a config the v1
+whole-sweep-resident design could never dispatch (VMEM blew past 16 MB at
+H·ns² tiles).
+
+In-kernel per-problem δ retry: each stage's nu×nu Cholesky retries with an
+escalating local regularisation bump, per VPU lane — a problem whose Quu
+loses positive definiteness gets its stage gain recomputed at the next δ
+while healthy problems in the same tile keep δ=0, WITHOUT re-running the
+whole sweep (the outer solver's global-δ while_loop re-sweep then almost
+never fires; it remains as the fallback when even the max local bump
+fails).
+
+Layout: ``(rows, G, 8, 128)`` where rows flattens (t, i, j) stage-major
+and G indexes 1024-problem groups.  The per-stage math is fully unrolled
+tile-wise straight-line vector code (supports any small nx/nu; ok-mask
+tracks pivot positivity per problem).
 
 Bound to the solver via ``jax.custom_batching.custom_vmap``
 (:func:`riccati_sweep_custom`): the unbatched call is the lax.scan
 reference; under ``vmap`` the batch dispatches here when (a) running on
-TPU and (b) the working set fits VMEM — otherwise it falls back to the
-vmapped scan.
+TPU and (b) the per-stage working set fits VMEM — else the vmapped scan.
 """
 
 from __future__ import annotations
 
 import functools
-import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_TILE = 1024          # problems per grid step: one (8, 128) f32 tile each
-_VMEM_BUDGET = 10 * 1024 * 1024
+try:  # pallas imports at module top so the kernel bodies can use them;
+    # guarded so CPU-only environments can still import this module
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_TILE = 1024          # problems per grid group: one (8, 128) f32 tile each
+_VMEM_BUDGET = 12 * 1024 * 1024
+# local (per-stage, per-lane) regularisation bumps tried inside the kernel
+_LOCAL_DELTAS = (0.0, 1e-6, 1e-3, 1.0)
 
 
 def _kernel_fits(H: int, nx: int, nu: int) -> bool:
-    if nu > 4:
-        return False
+    """Streamed per-stage VMEM footprint (double-buffered in/out blocks +
+    persistent carry scratch), independent of H."""
     ns = nx + nu
-    # inputs + outputs + scratch rows resident in VMEM per grid step
-    rows = H * (nx * nx + nx * nu + 2 * ns * ns     # A, B, G, M
-                + 2 * nx + nu + nx                  # mx, c, mu, dX
-                + nu + nx                           # dU, dLam
-                + nu * nx + nu + nx * nx + 2 * nx)  # K, k, Pbar, pbar, Mxu
-    return rows * 4096 < _VMEM_BUDGET
+    bwd_in = nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu + 1
+    bwd_out = nu * nx + nu + nx * nx + nx + nx * nu + 1
+    bwd_scr = nx * nx + nx + 1
+    fwd_in = nx * nx + nx * nu + nx + nu * nx + nu + nx * nx + nx + nx * nu
+    fwd_out = 2 * nx + nu
+    fwd_scr = nx
+    tiles = max(2 * (bwd_in + bwd_out) + bwd_scr,
+                2 * (fwd_in + fwd_out) + fwd_scr)
+    # chol unroll is O(nu³) straight-line code per retry level; cap nu to
+    # keep compile times sane (nu=8 → ~2k statements)
+    return nu <= 8 and tiles * 4096 < _VMEM_BUDGET
 
 
-def _sweep_kernel(H, nx, nu, A_ref, B_ref, G_ref, M_ref, mx_ref, mu_ref,
-                  c_ref, delta_ref, dX_ref, dU_ref, dLam_ref, ok_ref,
-                  Kc, kc, Pbarc, pbarc, Mxuc):
-    """One 1024-problem tile; every variable below is an (8, 128) tile.
+def _chol_solve_tiles(Q, rhss, zero):
+    """Unrolled tile-wise Cholesky of the nu×nu matrix-of-tiles Q and
+    forward/back substitution for each rhs (list of nu-tile lists).
+    Returns (solutions, ok_mask)."""
+    nu = len(Q)
+    L = [[zero for _ in range(nu)] for _ in range(nu)]
+    inv_d = [zero] * nu
+    okm = jnp.ones_like(zero)
+    for i in range(nu):
+        s = Q[i][i] - sum(L[i][q] * L[i][q] for q in range(i))
+        okm = okm * jnp.where(s > 1e-12, 1.0, 0.0)
+        s_safe = jnp.where(s > 1e-12, s, 1.0)
+        L[i][i] = jnp.sqrt(s_safe)
+        inv_d[i] = 1.0 / L[i][i]
+        for j in range(i + 1, nu):
+            L[j][i] = (Q[j][i] - sum(L[j][q] * L[i][q]
+                                     for q in range(i))) * inv_d[i]
+    sols = []
+    for rhs in rhss:
+        y = [zero] * nu
+        for i in range(nu):
+            y[i] = (rhs[i] - sum(L[i][q] * y[q]
+                                 for q in range(i))) * inv_d[i]
+        x = [zero] * nu
+        for i in range(nu - 1, -1, -1):
+            x[i] = (y[i] - sum(L[q][i] * x[q]
+                               for q in range(i + 1, nu))) * inv_d[i]
+        sols.append(x)
+    return sols, okm
 
-    Ref row layouts (leading axis; trailing dims are (1, 8, 128)):
-      A: t*nx*nx + i*nx + j      B: t*nx*nu + i*nu + a
-      G/M: t*ns*ns + i*ns + j    mx/c: t*nx + i     mu: t*nu + a
-      scratch  K: t*nu*nx + a*nx + j,  k: t*nu + a,
-               Pbar: t*nx*nx + i*nx + j, pbar: t*nx + i,
-               Mxu: t*nx*nu + i*nu + a
+
+def _chol_solve_retry(Q, rhss, zero):
+    """Per-lane δ-retry Cholesky: lanes whose pivot chain fails are
+    recomputed with the next local bump on Quu's diagonal; healthy lanes
+    keep their δ=0 result.  Returns (solutions, ok_mask) where ok_mask=0
+    only if even the largest bump failed."""
+    nu = len(Q)
+    sols_acc, ok_acc = None, jnp.zeros_like(zero)
+    for d in _LOCAL_DELTAS:
+        Qd = [[Q[i][j] + (d if i == j else zero) for j in range(nu)]
+              for i in range(nu)]
+        sols, okm = _chol_solve_tiles(Qd, rhss, zero)
+        if sols_acc is None:
+            sols_acc, ok_acc = sols, okm
+        else:
+            newly = okm * (1.0 - ok_acc)
+            sols_acc = [[jnp.where(newly > 0.5, s_new, s_old)
+                         for s_new, s_old in zip(rn, ro)]
+                        for rn, ro in zip(sols, sols_acc)]
+            ok_acc = jnp.maximum(ok_acc, okm)
+    return sols_acc, ok_acc
+
+
+def _backward_kernel(CH, nx, nu, n_chunks, fused, A_ref, B_ref, G_ref,
+                     M_ref, mx_ref, mu_ref, c_ref, delta_ref, K_ref, k_ref,
+                     Pb_ref, pb_ref, Mxu_ref, ok_ref, P_scr, p_scr,
+                     ok_scr):
+    """One CHUNK (CH stages, unrolled, newest→oldest) of the backward sweep
+    for one 1024-problem group.
+
+    Grid = (G, n_chunks) with the chunk axis innermost; chunk index t holds
+    stages [H-(t+1)·CH, H-t·CH), processed in reverse within the chunk.
+    All stage refs are blocked to that chunk by their index_map; the
+    value-function carry (P, p) persists in scratch across the sequential
+    grid steps.
     """
     ns = nx + nu
+    t = jnp.asarray(0, jnp.int32) if fused else pl.program_id(1)
 
-    def a_(t, i, j):
-        return A_ref[t * nx * nx + i * nx + j, 0]
-
-    def b_(t, i, al):
-        return B_ref[t * nx * nu + i * nu + al, 0]
-
-    def g_(t, i, j):
-        return G_ref[t * ns * ns + i * ns + j, 0]
-
-    def m_(t, i, j):
-        return M_ref[t * ns * ns + i * ns + j, 0]
+    @pl.when(t == 0)
+    def _():
+        P_scr[...] = jnp.zeros_like(P_scr)
+        p_scr[...] = jnp.zeros_like(p_scr)
+        ok_scr[...] = jnp.ones_like(ok_scr)
 
     delta = delta_ref[0, 0]
     zero = jnp.zeros_like(delta)
 
-    def chol_solve(Q, rhss):
-        """Unrolled tile-wise Cholesky of the nu×nu matrix-of-tiles Q and
-        forward/back substitution for each rhs (list of nu tiles).
-        Returns (solutions, ok_mask)."""
-        L = [[zero for _ in range(nu)] for _ in range(nu)]
-        inv_d = [zero] * nu
-        okm = jnp.ones_like(delta)
-        for i in range(nu):
-            s = Q[i][i] - sum(L[i][q] * L[i][q] for q in range(i))
-            okm = okm * jnp.where(s > 1e-12, 1.0, 0.0)
-            s_safe = jnp.where(s > 1e-12, s, 1.0)
-            L[i][i] = jnp.sqrt(s_safe)
-            inv_d[i] = 1.0 / L[i][i]
-            for j in range(i + 1, nu):
-                L[j][i] = (Q[j][i] - sum(L[j][q] * L[i][q]
-                                         for q in range(i))) * inv_d[i]
-        sols = []
-        for rhs in rhss:
-            y = [zero] * nu
-            for i in range(nu):
-                y[i] = (rhs[i] - sum(L[i][q] * y[q]
-                                     for q in range(i))) * inv_d[i]
-            x = [zero] * nu
-            for i in range(nu - 1, -1, -1):
-                x[i] = (y[i] - sum(L[q][i] * x[q]
-                                   for q in range(i + 1, nu))) * inv_d[i]
-            sols.append(x)
-        return sols, okm
+    P = [[P_scr[i * nx + j] for j in range(nx)] for i in range(nx)]
+    p = [p_scr[i] for i in range(nx)]
 
-    # ---- backward sweep (unrolled, t = H-1 .. 0) ----
-    P = [[zero for _ in range(nx)] for _ in range(nx)]
-    p = [zero for _ in range(nx)]
-    ok = jnp.ones_like(delta)
+    for lt in range(CH - 1, -1, -1):        # local stage, newest first
 
-    for t in range(H - 1, -1, -1):
-        Pbar = [[P[i][j] + m_(t, i, j) + (delta if i == j else zero)
+        def a_(i, j, _o=lt * nx * nx):
+            return A_ref[_o + i * nx + j, 0]
+
+        def b_(i, al, _o=lt * nx * nu):
+            return B_ref[_o + i * nu + al, 0]
+
+        def g_(i, j, _o=lt * ns * ns):
+            return G_ref[_o + i * ns + j, 0]
+
+        def m_(i, j, _o=lt * ns * ns):
+            return M_ref[_o + i * ns + j, 0]
+
+        def c_(i, _o=lt * nx):
+            return c_ref[_o + i, 0]
+
+        Pbar = [[P[i][j] + m_(i, j) + (delta if i == j else zero)
                  for j in range(nx)] for i in range(nx)]
-        pbar = [p[i] + mx_ref[t * nx + i, 0] for i in range(nx)]
-        Mxu = [[m_(t, i, nx + al) for al in range(nu)] for i in range(nx)]
+        pbar = [p[i] + mx_ref[lt * nx + i, 0] for i in range(nx)]
+        Mxu = [[m_(i, nx + al) for al in range(nu)] for i in range(nx)]
 
-        PA = [[sum(Pbar[i][k] * a_(t, k, j) for k in range(nx))
+        PA = [[sum(Pbar[i][k] * a_(k, j) for k in range(nx))
                for j in range(nx)] for i in range(nx)]
-        PB = [[sum(Pbar[i][k] * b_(t, k, al) for k in range(nx))
+        PB = [[sum(Pbar[i][k] * b_(k, al) for k in range(nx))
                for al in range(nu)] for i in range(nx)]
-        Qxx = [[sum(a_(t, k, i) * PA[k][j] for k in range(nx)) + g_(t, i, j)
+        Qxx = [[sum(a_(k, i) * PA[k][j] for k in range(nx)) + g_(i, j)
                 for j in range(nx)] for i in range(nx)]
-        BtMxu = [[sum(b_(t, k, al) * Mxu[k][be] for k in range(nx))
+        BtMxu = [[sum(b_(k, al) * Mxu[k][be] for k in range(nx))
                   for be in range(nu)] for al in range(nu)]
-        Quu = [[sum(b_(t, k, al) * PB[k][be] for k in range(nx))
-                + m_(t, nx + al, nx + be)
+        Quu = [[sum(b_(k, al) * PB[k][be] for k in range(nx))
+                + m_(nx + al, nx + be)
                 + (delta if al == be else zero)
                 + BtMxu[al][be] + BtMxu[be][al]
-                + g_(t, nx + al, nx + be)
+                + g_(nx + al, nx + be)
                 for be in range(nu)] for al in range(nu)]
-        Qux = [[sum(b_(t, k, al) * PA[k][j] for k in range(nx))
-                + sum(Mxu[k][al] * a_(t, k, j) for k in range(nx))
-                + g_(t, nx + al, j) for j in range(nx)]
+        Qux = [[sum(b_(k, al) * PA[k][j] for k in range(nx))
+                + sum(Mxu[k][al] * a_(k, j) for k in range(nx))
+                + g_(nx + al, j) for j in range(nx)]
                for al in range(nu)]
-        Pc_p = [sum(Pbar[i][k] * c_ref[t * nx + k, 0] for k in range(nx))
+        Pc_p = [sum(Pbar[i][k] * c_(k) for k in range(nx))
                 + pbar[i] for i in range(nx)]
-        qx = [sum(a_(t, k, i) * Pc_p[k] for k in range(nx))
+        qx = [sum(a_(k, i) * Pc_p[k] for k in range(nx))
               for i in range(nx)]
-        qu = [sum(b_(t, k, al) * Pc_p[k] for k in range(nx))
-              + sum(Mxu[k][al] * c_ref[t * nx + k, 0] for k in range(nx))
-              + mu_ref[t * nu + al, 0] for al in range(nu)]
+        qu = [sum(b_(k, al) * Pc_p[k] for k in range(nx))
+              + sum(Mxu[k][al] * c_(k) for k in range(nx))
+              + mu_ref[lt * nu + al, 0] for al in range(nu)]
 
-        # gains: solve Quu [K | k] = [Qux | qu]
+        # gains: solve Quu [K | k] = [Qux | qu], per-lane local δ retry
         rhss = [[Qux[al][j] for al in range(nu)] for j in range(nx)]
         rhss.append([qu[al] for al in range(nu)])
-        sols, okm = chol_solve(Quu, rhss)
-        ok = ok * okm
+        sols, okm = _chol_solve_retry(Quu, rhss, zero)
+        ok_scr[0] = ok_scr[0] * okm
         K = [[-sols[j][al] for j in range(nx)] for al in range(nu)]
         kk = [-sols[nx][al] for al in range(nu)]
 
-        # persist per-stage tensors for the forward pass
+        # stream per-stage tensors for the forward pass
         for al in range(nu):
             for j in range(nx):
-                Kc[t * nu * nx + al * nx + j, 0] = K[al][j]
-            kc[t * nu + al, 0] = kk[al]
+                K_ref[lt * nu * nx + al * nx + j, 0] = K[al][j]
+            k_ref[lt * nu + al, 0] = kk[al]
         for i in range(nx):
-            pbarc[t * nx + i, 0] = pbar[i]
+            pb_ref[lt * nx + i, 0] = pbar[i]
             for al in range(nu):
-                Mxuc[t * nx * nu + i * nu + al, 0] = Mxu[i][al]
+                Mxu_ref[lt * nx * nu + i * nu + al, 0] = Mxu[i][al]
             for j in range(nx):
-                Pbarc[t * nx * nx + i * nx + j, 0] = Pbar[i][j]
+                Pb_ref[lt * nx * nx + i * nx + j, 0] = Pbar[i][j]
 
-        P_new = [[Qxx[i][j] + sum(Qux[al][i] * K[al][j] for al in range(nu))
+        P_new = [[Qxx[i][j]
+                  + sum(Qux[al][i] * K[al][j] for al in range(nu))
                   for j in range(nx)] for i in range(nx)]
         P = [[0.5 * (P_new[i][j] + P_new[j][i]) for j in range(nx)]
              for i in range(nx)]
         p = [qx[i] + sum(Qux[al][i] * kk[al] for al in range(nu))
              for i in range(nx)]
 
-    # ---- forward sweep ----
-    dx = [zero for _ in range(nx)]
-    for t in range(H):
-        du = [sum(Kc[t * nu * nx + al * nx + j, 0] * dx[j]
-                  for j in range(nx)) + kc[t * nu + al, 0]
-              for al in range(nu)]
-        dxn = [sum(a_(t, i, j) * dx[j] for j in range(nx))
-               + sum(b_(t, i, al) * du[al] for al in range(nu))
-               + c_ref[t * nx + i, 0] for i in range(nx)]
-        dlam = [sum(Pbarc[t * nx * nx + i * nx + j, 0] * dxn[j]
-                    for j in range(nx))
-                + sum(Mxuc[t * nx * nu + i * nu + al, 0] * du[al]
-                      for al in range(nu))
-                + pbarc[t * nx + i, 0]
-                for i in range(nx)]
-        for al in range(nu):
-            dU_ref[t * nu + al, 0] = du[al]
-        for i in range(nx):
-            dX_ref[t * nx + i, 0] = dxn[i]
-            dLam_ref[t * nx + i, 0] = dlam[i]
-        dx = dxn
+    for i in range(nx):
+        p_scr[i] = p[i]
+        for j in range(nx):
+            P_scr[i * nx + j] = P[i][j]
 
-    ok_ref[0, 0] = ok
+    @pl.when(t == n_chunks - 1)
+    def _():
+        ok_ref[0, 0] = ok_scr[0]
+
+
+def _forward_kernel(CH, nx, nu, n_chunks, fused, A_ref, B_ref, c_ref,
+                    K_ref, k_ref, Pb_ref, pb_ref, Mxu_ref, dX_ref, dU_ref,
+                    dLam_ref, dx_scr):
+    """One CHUNK (CH stages, oldest→newest) of the forward sweep."""
+    t = jnp.asarray(0, jnp.int32) if fused else pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_scr[...] = jnp.zeros_like(dx_scr)
+
+    dx = [dx_scr[j] for j in range(nx)]
+    for lt in range(CH):
+        du = [sum(K_ref[lt * nu * nx + al * nx + j, 0] * dx[j]
+                  for j in range(nx))
+              + k_ref[lt * nu + al, 0] for al in range(nu)]
+        dxn = [sum(A_ref[lt * nx * nx + i * nx + j, 0] * dx[j]
+                   for j in range(nx))
+               + sum(B_ref[lt * nx * nu + i * nu + al, 0] * du[al]
+                     for al in range(nu))
+               + c_ref[lt * nx + i, 0] for i in range(nx)]
+        dlam = [sum(Pb_ref[lt * nx * nx + i * nx + j, 0] * dxn[j]
+                    for j in range(nx))
+                + sum(Mxu_ref[lt * nx * nu + i * nu + al, 0] * du[al]
+                      for al in range(nu))
+                + pb_ref[lt * nx + i, 0] for i in range(nx)]
+        for al in range(nu):
+            dU_ref[lt * nu + al, 0] = du[al]
+        for i in range(nx):
+            dX_ref[lt * nx + i, 0] = dxn[i]
+            dLam_ref[lt * nx + i, 0] = dlam[i]
+        dx = dxn
+    for i in range(nx):
+        dx_scr[i] = dx[i]
 
 
 def _to_tiles(x, B):
@@ -208,52 +295,139 @@ def _from_tiles(x, B, shape):
     return x.reshape(rows, B).T.reshape((B,) + shape)
 
 
+def _pick_chunk(H: int, nx: int, nu: int) -> int:
+    """Stages per grid step: as many as double-buffered VMEM allows (fewer
+    grid steps and bigger DMAs for small stage dims, e.g. the whole sweep
+    resident for LV-size problems), down to 1 (fully streamed) for big
+    stage dims like the quadrotor.  Must divide H."""
+    ns = nx + nu
+    per_stage = (nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu   # inputs
+                 + nu * nx + nu + nx * nx + nx + nx * nu)        # outputs
+    budget_tiles = _VMEM_BUDGET // 4096 - 2 * (nx * nx + nx + 1)
+    ch_max = max(1, budget_tiles // (2 * per_stage))
+    ch = min(H, ch_max)
+    while H % ch:
+        ch -= 1
+    return ch
+
+
 @functools.partial(jax.jit, static_argnames=("H", "nx", "nu", "interpret"))
 def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
                          interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     B = A.shape[0]
     ns = nx + nu
     Gt = B // _TILE
+    CH = _pick_chunk(H, nx, nu)
+    n_chunks = H // CH
 
     ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(G, B),
            _to_tiles(M, B), _to_tiles(mx, B), _to_tiles(mu_, B),
            _to_tiles(c, B), _to_tiles(delta, B)]
 
-    def spec(rows):
-        return pl.BlockSpec((rows, 1, 8, 128), lambda g: (0, g, 0, 0),
+    def chunk_spec(rows, reverse):
+        """Block = CH stages' rows for one batch group; the chunk axis of
+        the grid walks the horizon (reversed for the backward sweep)."""
+        if reverse:
+            return pl.BlockSpec((CH * rows, 1, 8, 128),
+                                lambda g, t: (n_chunks - 1 - t, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((CH * rows, 1, 8, 128),
+                            lambda g, t: (t, g, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [spec(H * nx * nx), spec(H * nx * nu), spec(H * ns * ns),
-                spec(H * ns * ns), spec(H * nx), spec(H * nu),
-                spec(H * nx), spec(1)]
-    out_specs = [spec(H * nx), spec(H * nu), spec(H * nx), spec(1)]
-    out_shape = [
-        jax.ShapeDtypeStruct((H * nx, Gt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((H * nu, Gt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((H * nx, Gt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((1, Gt, 8, 128), jnp.float32),
-    ]
-    scratch = [
-        pltpu.VMEM((H * nu * nx, 1, 8, 128), jnp.float32),   # K
-        pltpu.VMEM((H * nu, 1, 8, 128), jnp.float32),        # k
-        pltpu.VMEM((H * nx * nx, 1, 8, 128), jnp.float32),   # Pbar
-        pltpu.VMEM((H * nx, 1, 8, 128), jnp.float32),        # pbar
-        pltpu.VMEM((H * nx * nu, 1, 8, 128), jnp.float32),   # Mxu
-    ]
+    def const_spec(rows):
+        """Block revisited at every chunk step (stays VMEM-resident)."""
+        return pl.BlockSpec((rows, 1, 8, 128), lambda g, t: (0, g, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_sweep_kernel, H, nx, nu)
-    dX, dU, dLam, okm = pl.pallas_call(
-        kernel,
-        grid=(Gt,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
+    f32 = jnp.float32
+
+    def hbm(rows):
+        return jax.ShapeDtypeStruct((rows, Gt, 8, 128), f32)
+
+    if n_chunks == 1:
+        # Whole sweep resident: fuse both directions into ONE kernel so
+        # the per-stage gain tensors never round-trip through HBM (they
+        # stay in VMEM scratch) — the fast path for small stage dims.
+        def fused_kernel(A_r, B_r, G_r, M_r, mx_r, mu_r, c_r, d_r,
+                         dX_r, dU_r, dLam_r, ok_r,
+                         K_s, k_s, Pb_s, pb_s, Mxu_s, P_s, p_s, ok_s,
+                         dx_s):
+            _backward_kernel(CH, nx, nu, 1, True, A_r, B_r, G_r, M_r,
+                             mx_r, mu_r, c_r, d_r, K_s, k_s, Pb_s, pb_s,
+                             Mxu_s, ok_r, P_s, p_s, ok_s)
+            _forward_kernel(CH, nx, nu, 1, True, A_r, B_r, c_r, K_s, k_s,
+                            Pb_s, pb_s, Mxu_s, dX_r, dU_r, dLam_r, dx_s)
+
+        def gspec(rows):
+            return pl.BlockSpec((rows, 1, 8, 128), lambda g: (0, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def scr(rows):
+            return pltpu.VMEM((rows, 8, 128), f32)
+
+        def scr_blk(rows):
+            # gain buffers are indexed like blocked refs: [row, 0] — give
+            # them the same singleton group axis as a BlockSpec'd ref
+            return pltpu.VMEM((rows, 1, 8, 128), f32)
+
+        dX, dU, dLam, okm = pl.pallas_call(
+            fused_kernel,
+            grid=(Gt,),
+            in_specs=[gspec(H * nx * nx), gspec(H * nx * nu),
+                      gspec(H * ns * ns), gspec(H * ns * ns),
+                      gspec(H * nx), gspec(H * nu), gspec(H * nx),
+                      gspec(1)],
+            out_specs=[gspec(H * nx), gspec(H * nu), gspec(H * nx),
+                       gspec(1)],
+            out_shape=[hbm(H * nx), hbm(H * nu), hbm(H * nx), hbm(1)],
+            scratch_shapes=[scr_blk(H * nu * nx), scr_blk(H * nu),
+                            scr_blk(H * nx * nx), scr_blk(H * nx),
+                            scr_blk(H * nx * nu), scr(nx * nx), scr(nx),
+                            scr(1), scr(nx)],
+            interpret=interpret,
+        )(*ins)
+        dX = _from_tiles(dX, B, (H, nx))
+        dU = _from_tiles(dU, B, (H, nu))
+        dLam = _from_tiles(dLam, B, (H, nx))
+        ok = _from_tiles(okm, B, (1,))[:, 0] > 0.5
+        return dX, dU, dLam, ok
+
+    # ---- backward pass: stream stage chunks in reverse, emit gains ----
+    bwd = pl.pallas_call(
+        functools.partial(_backward_kernel, CH, nx, nu, n_chunks, False),
+        grid=(Gt, n_chunks),
+        in_specs=[chunk_spec(nx * nx, True), chunk_spec(nx * nu, True),
+                  chunk_spec(ns * ns, True), chunk_spec(ns * ns, True),
+                  chunk_spec(nx, True), chunk_spec(nu, True),
+                  chunk_spec(nx, True), const_spec(1)],
+        out_specs=[chunk_spec(nu * nx, True), chunk_spec(nu, True),
+                   chunk_spec(nx * nx, True), chunk_spec(nx, True),
+                   chunk_spec(nx * nu, True), const_spec(1)],
+        out_shape=[hbm(H * nu * nx), hbm(H * nu), hbm(H * nx * nx),
+                   hbm(H * nx), hbm(H * nx * nu), hbm(1)],
+        scratch_shapes=[pltpu.VMEM((nx * nx, 8, 128), f32),
+                        pltpu.VMEM((nx, 8, 128), f32),
+                        pltpu.VMEM((1, 8, 128), f32)],
         interpret=interpret,
-    )(*ins)
+    )
+    K, k, Pb, pb, Mxu, okm = bwd(*ins)
+
+    # ---- forward pass: stream stage chunks forward ----
+    fwd = pl.pallas_call(
+        functools.partial(_forward_kernel, CH, nx, nu, n_chunks, False),
+        grid=(Gt, n_chunks),
+        in_specs=[chunk_spec(nx * nx, False), chunk_spec(nx * nu, False),
+                  chunk_spec(nx, False), chunk_spec(nu * nx, False),
+                  chunk_spec(nu, False), chunk_spec(nx * nx, False),
+                  chunk_spec(nx, False), chunk_spec(nx * nu, False)],
+        out_specs=[chunk_spec(nx, False), chunk_spec(nu, False),
+                   chunk_spec(nx, False)],
+        out_shape=[hbm(H * nx), hbm(H * nu), hbm(H * nx)],
+        scratch_shapes=[pltpu.VMEM((nx, 8, 128), f32)],
+        interpret=interpret,
+    )
+    dX, dU, dLam = fwd(ins[0], ins[1], ins[6], K, k, Pb, pb, Mxu)
 
     dX = _from_tiles(dX, B, (H, nx))
     dU = _from_tiles(dU, B, (H, nu))
@@ -263,8 +437,8 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
 
 
 def riccati_sweep_pallas(A, B_, G, M, mx, mu_, c, delta, interpret=False):
-    """Batched sweep via the fused kernel.  Batch is padded to a multiple
-    of 1024; pad problems get benign data (Quu = 1+delta > 0)."""
+    """Batched sweep via the streamed kernels.  Batch is padded to a
+    multiple of 1024; pad problems get benign data (Quu = 1+delta > 0)."""
     B = A.shape[0]
     H, nx = c.shape[1], c.shape[2]
     nu = B_.shape[3]
@@ -308,6 +482,8 @@ def riccati_sweep_custom(A, B_, G, M, mx, mu_, c, delta):
 @riccati_sweep_custom.def_vmap
 def _riccati_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c,
                        delta):
+    import os
+
     def bcast(x, batched):
         return x if batched else jnp.broadcast_to(
             x[None], (axis_size,) + x.shape)
@@ -319,7 +495,7 @@ def _riccati_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c,
 
     H, nx = args[6].shape[1], args[6].shape[2]
     nu = args[1].shape[3]
-    use_pallas = (_kernel_fits(H, nx, nu)
+    use_pallas = (_HAS_PALLAS and _kernel_fits(H, nx, nu)
                   and jax.default_backend() == "tpu"
                   and os.environ.get("NEMPC_DISABLE_PALLAS") != "1")
     if use_pallas:

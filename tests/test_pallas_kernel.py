@@ -66,11 +66,45 @@ def test_kernel_ok_flag_on_negative_curvature():
     assert not bool(out[3][1])
 
 
+def test_kernel_quadrotor_dims_interpret():
+    """The streamed kernel at quadrotor stage dims (nx=12, nu=4) — the
+    config the v1 whole-sweep-resident design could never dispatch.  H is
+    shortened for interpret-mode speed; per-stage code is H-independent."""
+    args = make_data(B=2, H=3, nx=12, nu=4, seed=2)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    for r, o in zip(ref[:3], out[:3]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-4)
+    assert bool(jnp.all(out[3]))
+
+
+def test_kernel_local_delta_retry_interpret():
+    """A problem whose Quu is indefinite at δ=0 but fixable by a local
+    bump must come back ok=True from ONE sweep (in-kernel per-lane retry),
+    with the healthy problem's direction untouched."""
+    args = list(make_data(B=2, H=3, seed=3))
+    M = np.array(args[3])
+    M[1, 1, 2, 2] = -0.5      # mild indefiniteness at one stage
+    args[3] = jnp.asarray(M)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    assert not bool(ref[3][1])            # the plain sweep fails it...
+    out = riccati_sweep_pallas(*args, interpret=True)
+    assert bool(out[3][0]) and bool(out[3][1])   # ...the kernel rescues it
+    # healthy problem identical to the reference
+    np.testing.assert_allclose(np.asarray(out[0][0]),
+                               np.asarray(ref[0][0]), atol=2e-5)
+    # rescued problem is finite
+    assert np.all(np.isfinite(np.asarray(out[0][1])))
+
+
 def test_fits_predicate():
     assert _kernel_fits(20, 2, 1)          # LV bench config
     assert _kernel_fits(20, 2, 4)          # small multi-input fits too
-    assert not _kernel_fits(20, 2, 5)      # nu cap
-    assert not _kernel_fits(200, 12, 1)    # too big for VMEM
+    assert _kernel_fits(50, 12, 4)         # quadrotor fleet (streamed v2 —
+    #                                        the v1 resident design refused)
+    assert _kernel_fits(500, 12, 4)        # per-stage footprint: H-free
+    assert not _kernel_fits(20, 2, 9)      # nu cap (chol unroll size)
+    assert not _kernel_fits(20, 64, 4)     # stage blocks too big for VMEM
 
 
 def test_custom_vmap_fallback_on_cpu():
