@@ -32,12 +32,15 @@ from .core.problem import (Box, Dims, MPCSpec, PathConstraint, StageCost,
                            StageConstraint, equality_constraint,
                            inequality_constraint, interval_constraint,
                            runtime, stage_inequality, stage_interval)
+from .core.structure import SeparableObjective, probe_stage_separable
 from .core.transcription import NLP, transcribe
 from .models.base import DynamicsModel, jax_dynamics
 from .models.mlp import MLPDynamics, mlp_apply, mlp_init
 from .models.rolling import RollingWindow, rolling_mlp, rolling_window
-from .models.importers import load_keras_h5, load_torch_mlp
-from .models.rnn import GRUDynamics, gru_dynamics, fit_gru_on_sequences
+from .models.importers import (load_keras_h5, load_keras_lstm_h5,
+                               load_torch_mlp)
+from .models.rnn import (GRUDynamics, LSTMDynamics, gru_dynamics,
+                         lstm_dynamics, fit_gru_on_sequences)
 from .utils.checkpoint import load_pytree, save_pytree
 from .utils.check import check_model, check_problem
 from .solve.interior_point import IPConfig, IPResult, make_solver
@@ -54,10 +57,12 @@ __all__ = [
     "Box", "Dims", "MPCSpec", "PathConstraint", "StageConstraint",
     "DomainConstraint", "stage_inequality", "stage_interval",
     "equality_constraint", "inequality_constraint", "interval_constraint",
-    "runtime", "StageCost", "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
+    "runtime", "StageCost", "SeparableObjective", "probe_stage_separable",
+    "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",
-    "rolling_window", "load_keras_h5", "load_torch_mlp", "GRUDynamics",
-    "gru_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
+    "rolling_window", "load_keras_h5", "load_keras_lstm_h5",
+    "load_torch_mlp", "GRUDynamics", "LSTMDynamics", "gru_dynamics",
+    "lstm_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
     "check_model", "check_problem", "IPConfig", "IPResult",
     "make_solver", "ALMConfig", "make_alm_solver", "make_differentiable_solver",
     "NMPC", "NMPCResult",

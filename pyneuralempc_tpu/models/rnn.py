@@ -113,6 +113,112 @@ def gru_dynamics(x_dim: int, u_dim: int, hidden: int = 16,
                        hidden=hidden)
 
 
+# ---- LSTM (Keras-compatible cell layout, for artifact import) ----
+
+
+def lstm_init(key, in_dim: int, hidden: int, out_dim: int):
+    """LSTM cell + linear readout params in the Keras weight layout:
+    ``wk`` (in, 4u), ``wr`` (u, 4u), ``b`` (4u,) with gate order
+    [input, forget, cell, output] — so :func:`~pyneuralempc_tpu.models.
+    importers.load_keras_lstm_h5` copies weights verbatim."""
+    k = jax.random.split(key, 3)
+    scale = 1.0 / jnp.sqrt(hidden + in_dim)
+
+    def mat(kk, shape):
+        return jax.random.uniform(kk, shape, jnp.float32, -scale, scale)
+
+    b = jnp.zeros((4 * hidden,))
+    # unit forget-gate bias (Keras unit_forget_bias=True default)
+    b = b.at[hidden: 2 * hidden].set(1.0)
+    return {
+        "wk": mat(k[0], (in_dim, 4 * hidden)),
+        "wr": mat(k[1], (hidden, 4 * hidden)),
+        "b": b,
+        "wo": mat(k[2], (hidden, out_dim)),
+        "bo": jnp.zeros((out_dim,)),
+    }
+
+
+def lstm_step(params, h, c, inp):
+    """One LSTM update (Keras gate order/semantics), batched over leading
+    axes: h/c (…, nh), inp (…, ni)."""
+    nh = h.shape[-1]
+    dot = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    gates = dot(inp, params["wk"]) + dot(h, params["wr"]) + params["b"]
+    i = jax.nn.sigmoid(gates[..., :nh])
+    f = jax.nn.sigmoid(gates[..., nh: 2 * nh])
+    g = jnp.tanh(gates[..., 2 * nh: 3 * nh])
+    o = jax.nn.sigmoid(gates[..., 3 * nh:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+@dataclasses.dataclass(frozen=True)
+class LSTMDynamics:
+    """Lifted LSTM dynamics bundle (use ``.model`` with integrator='direct').
+
+    Same lifting as :class:`GRUDynamics` but with both recurrent carries in
+    the MPC state: z = [x, h, c].  This is the import target for trained
+    Keras ``Sequential([LSTM, Dense])`` dynamics surrogates — the lifted
+    state keeps the transcription first-order Markov where the reference
+    would have needed yet another projection-matrix scheme
+    (``model/tensorflow.py:131-340``)."""
+
+    model: DynamicsModel
+    x_dim: int
+    u_dim: int
+    hidden: int
+    mode: str = "delta"      # readout: x+Wo·h ("delta") or Wo·h ("direct")
+
+    def lift(self, x0, h0=None, c0=None) -> jnp.ndarray:
+        h0 = jnp.zeros((self.hidden,)) if h0 is None else jnp.asarray(h0)
+        c0 = jnp.zeros((self.hidden,)) if c0 is None else jnp.asarray(c0)
+        return jnp.concatenate([jnp.asarray(x0), h0, c0])
+
+    def head(self, Z) -> jnp.ndarray:
+        return Z[..., : self.x_dim]
+
+    def box(self, states_constraint, control_constraint,
+            hidden_bound: float = 10.0) -> Box:
+        hb = [[-hidden_bound, hidden_bound]] * (2 * self.hidden)
+        return Box.make(list(states_constraint) + hb, control_constraint)
+
+    def head_objective(self, fn: Callable) -> Callable:
+        def wrapped(Z, u, p=None, tvp=None):
+            return _call_user_fn(fn, self.head(Z), u, p, tvp)
+        return wrapped
+
+    def init_params(self, key):
+        return lstm_init(key, self.x_dim + self.u_dim, self.hidden,
+                         self.x_dim)
+
+
+def lstm_dynamics(x_dim: int, u_dim: int, hidden: int = 16,
+                  p_dim: int = 0, tvp_dim: int = 0, mode: str = "delta",
+                  name: str = "lstm") -> LSTMDynamics:
+    """Build a lifted LSTM dynamics model (z = [x, h, c])."""
+    if mode not in ("delta", "direct"):
+        raise ValueError(f"unknown readout mode {mode!r}")
+    nz = x_dim + 2 * hidden
+
+    def fn(z, u, p, tvp, params):
+        x = z[:, :x_dim]
+        h = z[:, x_dim: x_dim + hidden]
+        c = z[:, x_dim + hidden:]
+        inp = jnp.concatenate([x, u], axis=-1)
+        h_new, c_new = lstm_step(params, h, c, inp)
+        out = jnp.dot(h_new, params["wo"],
+                      preferred_element_type=jnp.float32) + params["bo"]
+        x_next = x + out if mode == "delta" else out
+        return jnp.concatenate([x_next, h_new, c_new], axis=-1)
+
+    lifted = DynamicsModel(fn=fn, dims=Dims(nz, u_dim, p_dim, tvp_dim),
+                           name=name)
+    return LSTMDynamics(model=lifted, x_dim=x_dim, u_dim=u_dim,
+                        hidden=hidden, mode=mode)
+
+
 def fit_gru_on_sequences(gd: GRUDynamics, X_seqs, U_seqs, steps: int = 2000,
                          lr: float = 1e-3, key=None) -> Tuple[dict, float]:
     """Teacher-forced sequence fitting: X_seqs (N, T+1, x_dim),

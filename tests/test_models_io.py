@@ -169,3 +169,175 @@ def test_keras_rolling_import_rejects_mismatch():
     from pyneuralempc_tpu.models.importers import load_keras_h5_rolling
     with pytest.raises(ValueError):
         load_keras_h5_rolling(REF_H5, x_dim=1, u_dim=1, window=2)
+
+
+# ---- functional-API import ----
+
+def _write_fake_functional_h5(path, sizes, acts, branch=False):
+    """tf.keras Functional-format .h5 (inbound_nodes graph, legacy
+    nested-list format)."""
+    import h5py
+    import json
+    rng = np.random.default_rng(0)
+    layers = [{"class_name": "InputLayer", "name": "input_1",
+               "config": {"name": "input_1"}, "inbound_nodes": []}]
+    prev = "input_1"
+    names = []
+    for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+        name = "dense" if i == 0 else f"dense_{i}"
+        names.append(name)
+        layers.append({"class_name": "Dense", "name": name,
+                       "config": {"name": name, "activation": acts[i]},
+                       "inbound_nodes": [[[prev, 0, 0, {}]]]})
+        prev = name
+    if branch:   # second parent on the last layer -> must be rejected
+        layers[-1]["inbound_nodes"] = [[["input_1", 0, 0, {}],
+                                        [names[0], 0, 0, {}]]]
+    cfg = {"class_name": "Functional",
+           "config": {"name": "model", "layers": layers,
+                      "input_layers": [["input_1", 0, 0]],
+                      "output_layers": [[prev, 0, 0]]}}
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+            name = names[i]
+            g = w.create_group(name).create_group(name)
+            g.create_dataset("kernel:0",
+                             data=rng.normal(0, 0.3, (fi, fo)).astype("f4"))
+            g.create_dataset("bias:0",
+                             data=rng.normal(0, 0.1, fo).astype("f4"))
+
+
+def test_keras_functional_import_matches_manual(tmp_path):
+    """Functional-API h5 (graph config) must import identically to the
+    equivalent Sequential — verified against a manual numpy forward."""
+    import h5py
+    path = str(tmp_path / "funcnet.h5")
+    _write_fake_functional_h5(path, (3, 8, 2), ("tanh", "linear"))
+    model, params = load_keras_h5(path, x_dim=2, u_dim=1)
+    x = np.array([[0.3, -0.2], [0.1, 0.4]], np.float32)
+    u = np.array([[0.1], [-0.3]], np.float32)
+    h = np.concatenate([x, u], axis=1)
+    with h5py.File(path, "r") as f:
+        w = f["model_weights"]
+        for i, name in enumerate(["dense", "dense_1"]):
+            W = np.asarray(w[name][name]["kernel:0"])
+            b = np.asarray(w[name][name]["bias:0"])
+            h = h @ W + b
+            if i == 0:
+                h = np.tanh(h)
+    out = model(jnp.asarray(x), jnp.asarray(u), params=params)
+    np.testing.assert_allclose(np.asarray(out), h, rtol=1e-5, atol=1e-6)
+
+
+def test_keras_functional_rejects_branching(tmp_path):
+    path = str(tmp_path / "branchnet.h5")
+    _write_fake_functional_h5(path, (3, 8, 2), ("tanh", "linear"),
+                              branch=True)
+    with pytest.raises(ValueError, match="multiple inputs"):
+        load_keras_h5(path, x_dim=2, u_dim=1)
+
+
+# ---- LSTM import onto the lifted-RNN path ----
+
+def _write_fake_lstm_h5(path, in_dim, units, out_dim):
+    """tf.keras Sequential([LSTM(units), Dense(out_dim)]) .h5 writer,
+    with the LSTM vars nested under lstm/lstm/lstm_cell (tf2.x layout)."""
+    import h5py
+    import json
+    rng = np.random.default_rng(3)
+    cfg = {"class_name": "Sequential", "config": {"layers": [
+        {"class_name": "LSTM", "config": {"name": "lstm", "units": units}},
+        {"class_name": "Dense",
+         "config": {"name": "dense", "activation": "linear"}},
+    ]}}
+    wk = rng.normal(0, 0.4, (in_dim, 4 * units)).astype("f4")
+    wr = rng.normal(0, 0.4, (units, 4 * units)).astype("f4")
+    b = rng.normal(0, 0.1, 4 * units).astype("f4")
+    wo = rng.normal(0, 0.4, (units, out_dim)).astype("f4")
+    bo = rng.normal(0, 0.1, out_dim).astype("f4")
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        cell = (w.create_group("lstm").create_group("lstm")
+                .create_group("lstm_cell"))
+        cell.create_dataset("kernel:0", data=wk)
+        cell.create_dataset("recurrent_kernel:0", data=wr)
+        cell.create_dataset("bias:0", data=b)
+        g = w.create_group("dense").create_group("dense")
+        g.create_dataset("kernel:0", data=wo)
+        g.create_dataset("bias:0", data=bo)
+    return wk, wr, b, wo, bo
+
+
+def _np_lstm_forward(wk, wr, b, wo, bo, xs, us, mode="delta"):
+    """Keras-semantics LSTM rollout in numpy (gate order i, f, c, o)."""
+    units = wr.shape[0]
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    h = np.zeros(units)
+    c = np.zeros(units)
+    x = xs[0]
+    traj = [x]
+    for t in range(len(us)):
+        inp = np.concatenate([x, us[t]])
+        gates = inp @ wk + h @ wr + b
+        i = sig(gates[:units])
+        f = sig(gates[units:2 * units])
+        g = np.tanh(gates[2 * units:3 * units])
+        o = sig(gates[3 * units:])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        out = h @ wo + bo
+        x = x + out if mode == "delta" else out
+        traj.append(x)
+    return np.stack(traj)
+
+
+def test_keras_lstm_import_matches_numpy_forward(tmp_path):
+    from pyneuralempc_tpu.models.importers import load_keras_lstm_h5
+    path = str(tmp_path / "lstmnet.h5")
+    wk, wr, b, wo, bo = _write_fake_lstm_h5(path, in_dim=3, units=5,
+                                            out_dim=2)
+    ld, params = load_keras_lstm_h5(path, x_dim=2, u_dim=1)
+    assert ld.hidden == 5
+
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=2).astype(np.float32)
+    us = rng.normal(size=(4, 1)).astype(np.float32)
+    expected = _np_lstm_forward(wk, wr, b, wo, bo, [x0], us)
+
+    # roll the lifted model forward and compare physical heads
+    z = ld.lift(x0)
+    heads = [np.asarray(ld.head(z))]
+    for t in range(4):
+        z = ld.model(z[None], jnp.asarray(us[t][None]), params=params)[0]
+        heads.append(np.asarray(ld.head(z)))
+    np.testing.assert_allclose(np.stack(heads), expected, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_keras_lstm_import_validates_dims(tmp_path):
+    from pyneuralempc_tpu.models.importers import load_keras_lstm_h5
+    path = str(tmp_path / "lstmnet2.h5")
+    _write_fake_lstm_h5(path, in_dim=3, units=4, out_dim=2)
+    with pytest.raises(ValueError):
+        load_keras_lstm_h5(path, x_dim=3, u_dim=1)   # 3+1 != 3
+
+
+def test_lstm_mpc_end_to_end():
+    """A trained-shape LSTM surrogate drives an MPC solve via the lifted
+    state (same path as the GRU), converging on the Riccati backend."""
+    from pyneuralempc_tpu.models.rnn import lstm_dynamics
+    ld = lstm_dynamics(x_dim=1, u_dim=1, hidden=4, mode="delta")
+    params = ld.init_params(jax.random.PRNGKey(0))
+    cost = ld.head_objective(lambda x, u: jnp.sum((x - 0.3) ** 2)
+                             + 0.01 * jnp.sum(u ** 2))
+    box = ld.box(states_constraint=[[-2.0, 2.0]],
+                 control_constraint=[[-1.5, 1.5]])
+    mpc = nempc.NMPC(ld.model, cost, [box], H=8, DT=1.0,
+                     integrator="direct",
+                     config=nempc.IPConfig(max_iter=60))
+    res = mpc.next(ld.lift(jnp.asarray([0.0])), params=params)
+    assert bool(res.converged)
+    assert np.all(np.isfinite(np.asarray(res.x)))
