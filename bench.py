@@ -59,14 +59,20 @@ def main():
                                 batch=1024)
     log(f"surrogate mse={mse:.2e} ({time.perf_counter()-t0:.1f}s)")
 
-    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
+    # Plain-callable cost (the reference's native idiom): the structure
+    # probe certifies it stage-separable and routes it to the O(H)
+    # Riccati backend automatically (core/structure.py).
+    cost = lambda x, u: 1.1 * jnp.sum(u)  # noqa: E731
     box = nempc.DomainConstraint(
         states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
         control_constraint=[[0.0, 1.2]])
     mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4",
-                     config=nempc.IPConfig(tol=1e-5))
-    # tol=1e-5 puts the controls within 1e-4 of the scipy golden (the
-    # north-star match criterion) at ~1 extra IP iteration
+                     config=nempc.IPConfig(tol=1e-6))
+    # tol=1e-6 (μ floor 1e-7) puts the controls within ~2e-5 of the scipy
+    # golden — the 1e-4 north-star criterion with margin.  Measured on 6
+    # CPU problems: worst |u-u_gold| 2.45e-4 at tol=1e-5 vs 2.11e-5 at
+    # tol=1e-6 (the gap is barrier bias at the μ floor, it scales with
+    # tol/10), for +1 IP iteration (cold mean 12.7 -> 13.8).
     log(f"kkt backend: {mpc.kkt_backend}")
 
     # batch of initial states across the healthy operating region
@@ -202,6 +208,61 @@ def main():
     log(f"iterations (last step): max "
         f"{int(jnp.max(res.iterations))} mean "
         f"{float(jnp.mean(res.iterations)):.1f}")
+
+    # --- secondary metric (stderr only): BASELINE config 4, quadrotor
+    # H=50 exact-Hessian fleet — the hard structured workload.  Gated by
+    # BENCH_QUAD=0 to keep the default bench fast when iterating.
+    if os.environ.get("BENCH_QUAD", "1") == "1":
+        try:
+            import sys as _sys
+            _sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "examples"))
+            from quadrotor import F_HOVER, quad_f
+
+            QB = int(os.environ.get("BENCH_QUAD_BATCH", min(B, 4096)))
+            truth = nempc.jax_dynamics(quad_f(), x_dim=12, u_dim=4)
+            qcost = nempc.StageCost(
+                stage=lambda x, u: (jnp.sum(x[:3] ** 2)
+                                    + 0.1 * jnp.sum(x[3:6] ** 2)
+                                    + 0.5 * jnp.sum(x[6:8] ** 2)
+                                    + 0.1 * x[8] ** 2
+                                    + 0.02 * jnp.sum(x[9:] ** 2)
+                                    + 0.05 * jnp.sum((u - F_HOVER) ** 2)),
+                terminal=lambda x: 5.0 * (jnp.sum(x[:3] ** 2)
+                                          + jnp.sum(x[3:6] ** 2)))
+            qbox = nempc.DomainConstraint(
+                states_constraint=[[-5.0, 5.0]] * 3 + [[-8.0, 8.0]] * 3
+                + [[-0.8, 0.8]] * 2 + [[-np.pi, np.pi]] + [[-8.0, 8.0]] * 3,
+                control_constraint=[[0.0, 3.0]] * 4)
+            qmpc = nempc.NMPC(truth, qcost, [qbox], H=50, DT=0.02,
+                              integrator="rk4",
+                              config=nempc.IPConfig(max_iter=80))
+            qx0 = np.zeros((QB, 12), np.float32)
+            qx0[:, 0:3] = rng.uniform(-1.0, 1.0, (QB, 3))
+            qx0[:, 3:6] = rng.uniform(-0.5, 0.5, (QB, 3))
+            qx0[:, 6:8] = rng.uniform(-0.3, 0.3, (QB, 2))
+            qx0 = jnp.asarray(qx0)
+            t0 = time.perf_counter()
+            qcarry, qres = qmpc.next_batch(qx0)
+            jax.block_until_ready(qcarry.w)
+            log(f"quadrotor H=50 B={QB} cold (incl compile): "
+                f"{time.perf_counter()-t0:.1f}s  converged "
+                f"{int(qres.converged.sum())}/{QB}  iters max "
+                f"{int(qres.iterations.max())}")
+            qcarry, qres = qmpc.next_batch(qres.x[:, 0], carry=qcarry)
+            jax.block_until_ready(qcarry.w)
+            t0 = time.perf_counter()
+            QSTEPS = 4
+            for _ in range(QSTEPS):
+                qcarry, qres = qmpc.next_batch(qres.x[:, 0], carry=qcarry)
+            jax.block_until_ready(qcarry.w)
+            qdt = (time.perf_counter() - t0) / QSTEPS
+            log(f"quadrotor H=50 warm fleet step: {qdt*1e3:.0f}ms -> "
+                f"{QB/qdt:,.0f} solves/s  converged "
+                f"{int(qres.converged.sum())}/{QB}")
+        except Exception as e:  # secondary metric must never break stdout
+            log(f"quadrotor secondary bench skipped: "
+                f"{type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "lv_h20_mlp_rk4_warm_solves_per_s_per_chip",

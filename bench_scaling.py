@@ -1,0 +1,131 @@
+"""Scaling-efficiency harness: scenario-sharded fleet at 1/2/4/8 devices.
+
+Measures the BASELINE north-star scaling clause (">= 80% efficiency at 2
+hosts") the only way possible without a multi-chip slice: run the SAME
+total batch unsharded and sharded over n virtual devices and compare
+steady-state warm re-plan throughput.
+
+What this measures, precisely: scenario sharding is pure data parallelism
+— the partitioned program contains *zero* collectives on the hot path
+(docs/SCALING.md; verify with jax.jit(...).lower().compile() and grep the
+HLO for all-reduce).  On one host, n virtual CPU devices share the same
+cores, so total work/time is constant if and only if partitioning adds no
+communication or overhead; the efficiency number below is therefore
+    eff(n) = t_unsharded / t_sharded_over_n
+which is exactly the multiplicative term that degrades real multi-chip
+scaling on top of per-chip throughput (bench.py's metric).  On a real
+slice, per-chip work is 1/n of the batch and ICI carries nothing, so
+fleet throughput = n × per-chip throughput × eff(n).
+
+Run:   python bench_scaling.py [--batch 256] [--steps 8] [--devices 1,2,4,8]
+       (forces the CPU backend with 8 virtual devices; TPU slices > 1 chip
+        are not available in this environment — see CLAUDE.md)
+
+Prints a table to stderr and one JSON summary line to stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_mpc(H=20, DT=0.1, tol=1e-5):
+    """The bench.py workload (normalized controlled Lotka-Volterra) with
+    exact dynamics instead of the MLP surrogate — same solve structure,
+    no training step."""
+    import jax.numpy as jnp
+    import pyneuralempc_tpu as nempc
+
+    def f_true(x, u):
+        xr = 30.0 * (x + 1.0)
+        ur = 50.0 * u
+        d1 = 0.5 * xr[:, :1] - 0.025 * xr[:, :1] * xr[:, 1:]
+        d2 = -0.5 * xr[:, 1:] + ur + 0.005 * xr[:, :1] * xr[:, 1:]
+        return jnp.concatenate([d1, d2], axis=1) / 30.0
+
+    model = nempc.jax_dynamics(f_true, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
+    box = nempc.DomainConstraint(
+        states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
+        control_constraint=[[0.0, 1.2]])
+    return nempc.NMPC(model, cost, [box], H=H, DT=DT, integrator="rk4",
+                      config=nempc.IPConfig(tol=tol))
+
+
+def measure(mpc, B, steps, n_devices=None):
+    """Steady-state warm re-plan seconds/step for batch B, optionally
+    scenario-sharded over n_devices.  Returns (sec_per_step, n_converged)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pyneuralempc_tpu.parallel.sharding import ShardedNMPC, make_mesh
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.stack([rng.uniform(0.2, 0.8, B),
+                                rng.uniform(-0.9, -0.3, B)], axis=1),
+                      jnp.float32)
+    runner = (mpc if n_devices is None
+              else ShardedNMPC(mpc, make_mesh(n_devices)))
+    carry, res = runner.next_batch(x0s)
+    jax.block_until_ready(carry.w)
+    # warm-path compile + pipeline ramp, untimed
+    for _ in range(2):
+        carry, res = runner.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry, res = runner.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    return (time.perf_counter() - t0) / steps, int(res.converged.sum())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--devices", type=str, default="1,2,4,8")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    ns = [int(s) for s in args.devices.split(",")]
+    log(f"devices available: {len(jax.devices())}  B={args.batch}  "
+        f"steps={args.steps}")
+
+    mpc = build_mpc()
+    B = args.batch
+    t_ref, conv = measure(mpc, B, args.steps, n_devices=None)
+    log(f"unsharded      : {t_ref*1e3:8.1f} ms/step  "
+        f"{B/t_ref:10.0f} solves/s  conv {conv}/{B}")
+    rows = {}
+    for n in ns:
+        t_n, conv = measure(mpc, B, args.steps, n_devices=n)
+        eff = t_ref / t_n
+        rows[n] = {"ms_per_step": round(t_n * 1e3, 1),
+                   "solves_per_s": round(B / t_n, 1),
+                   "efficiency_vs_unsharded": round(eff, 3)}
+        log(f"sharded n={n:2d}   : {t_n*1e3:8.1f} ms/step  "
+            f"{B/t_n:10.0f} solves/s  eff={eff:.3f}  conv {conv}/{B}")
+
+    worst = min(r["efficiency_vs_unsharded"] for r in rows.values())
+    print(json.dumps({
+        "metric": "scenario_sharding_efficiency_fixed_batch",
+        "value": worst,
+        "unit": "ratio (t_unsharded / t_sharded, worst over mesh sizes)",
+        "vs_baseline": round(worst / 0.8, 3),
+        "detail": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,3 +168,56 @@ def test_mehrotra_strategy_converges():
 
     with pytest.raises(ValueError):
         nempc.IPConfig(mu_strategy="bogus")
+
+
+def test_adaptive_strategy_converges_and_matches_monotone():
+    """mu_strategy='adaptive' (LOQO centrality rule) must solve the LV
+    problem to the same optimum as monotone — same controls within
+    tolerance, not just a converged flag — and keep its no-extra-KKT-solve
+    promise of competitive iteration counts on warm-ish problems."""
+    def lv(x, u):
+        return jnp.concatenate(
+            [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+             -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+    model = nempc.jax_dynamics(lv, x_dim=2, u_dim=1)
+    box = nempc.DomainConstraint(states_constraint=[[0., 60.], [0., 40.]],
+                                 control_constraint=[[0., 60.]])
+    cost = lambda x, u: jnp.sum(1.1 * u)  # noqa: E731
+    results = {}
+    for strat in ("adaptive", "monotone"):
+        # tol=1e-4 (the reference's acceptable_tol): this raw-unit problem
+        # (states ~O(50)) has an f32 dual-residual floor ~2.6e-5
+        mpc = nempc.NMPC(model, cost, [box], H=15, DT=0.1,
+                         integrator="rk4",
+                         config=nempc.IPConfig(mu_strategy=strat,
+                                               tol=1e-4, max_iter=100))
+        res = mpc.next(jnp.array([50.0, 5.0]))
+        assert bool(res.converged), strat
+        results[strat] = res
+    np.testing.assert_allclose(np.asarray(results["adaptive"].u),
+                               np.asarray(results["monotone"].u),
+                               atol=1e-2)   # u scale is ~60 (raw units)
+    # adaptive must not blow past monotone's iteration budget wildly
+    assert int(results["adaptive"].iterations) <= \
+        3 * int(results["monotone"].iterations) + 10
+
+
+def test_all_mu_strategies_on_batch():
+    """All three μ strategies solve a small batch with per-problem masks."""
+    def lv(x, u):
+        return jnp.concatenate(
+            [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+             -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+    model = nempc.jax_dynamics(lv, x_dim=2, u_dim=1)
+    box = nempc.DomainConstraint(states_constraint=[[0., 60.], [0., 40.]],
+                                 control_constraint=[[0., 60.]])
+    cost = lambda x, u: jnp.sum(1.1 * u)  # noqa: E731
+    x0s = jnp.asarray([[50.0, 5.0], [40.0, 10.0], [55.0, 8.0]])
+    for strat in ("monotone", "adaptive", "mehrotra"):
+        mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1,
+                         integrator="rk4",
+                         config=nempc.IPConfig(mu_strategy=strat))
+        carry, res = mpc.next_batch(x0s)
+        assert bool(res.converged.all()), strat
