@@ -117,12 +117,18 @@ def main():
         log(f"sharded n={n:2d}   : {t_n*1e3:8.1f} ms/step  "
             f"{B/t_n:10.0f} solves/s  eff={eff:.3f}  conv {conv}/{B}")
 
-    worst = min(r["efficiency_vs_unsharded"] for r in rows.values())
+    # Headline = 2-way sharding (the north-star clause is ">=80% at
+    # 2 hosts"); the full table rides in `detail`.  Note: n virtual
+    # devices > physical cores under-reports efficiency (they timeshare
+    # the same cores, so per-shard fixed costs serialize) — on real
+    # chips each shard has its own compute.
+    n_head = 2 if 2 in rows else ns[0]
+    eff2 = rows[n_head]["efficiency_vs_unsharded"]
     print(json.dumps({
-        "metric": "scenario_sharding_efficiency_fixed_batch",
-        "value": worst,
-        "unit": "ratio (t_unsharded / t_sharded, worst over mesh sizes)",
-        "vs_baseline": round(worst / 0.8, 3),
+        "metric": "scenario_sharding_efficiency_2way_fixed_batch",
+        "value": eff2,
+        "unit": "ratio (t_unsharded / t_sharded_2way)",
+        "vs_baseline": round(eff2 / 0.8, 3),
         "detail": rows,
     }))
 

@@ -136,6 +136,20 @@ class IPConfig:
     # ν≈430, 90 iterations at α≈0.008).  Steps that keep θ under the floor
     # are therefore judged on the barrier function's own Armijo condition
     # (the analog of Ipopt's f-type switching rule).
+    polish_iters: int = 0          # fixed extra centering iterations at
+                                   # μ = polish_mu after the main loop.
+                                   # The IP optimum carries an O(μ_floor)
+                                   # barrier bias in the controls at
+                                   # active bounds; demanding convergence
+                                   # below the f32 KKT floor to remove it
+                                   # makes tail members burn max_iter in
+                                   # lockstep (measured: tol=1e-6 on TPU
+                                   # = 18× throughput loss).  A fixed
+                                   # polish pass is lockstep-safe: every
+                                   # member pays exactly polish_iters
+                                   # cheap warm iterations and the bias
+                                   # drops ~(μ_polish/μ_floor)×.
+    polish_mu: float = 1e-7
     delta_c: float = 1e-8          # dual regularisation
     nu_init: float = 1.0           # merit penalty initial value
     hessian: str = "exact"         # "exact" | "objective" | "gauss_newton"
@@ -406,7 +420,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     direction_fn = (direction(nlp, cfg) if direction is not None
                     else dense_direction)
 
-    def iteration(state: IPState, rt) -> IPState:
+    def iteration(state: IPState, rt, polish=False) -> IPState:
         w, lam, zl, zu, mu, nu = (state.w, state.lam, state.zl, state.zu,
                                   state.mu, state.nu)
         sl, su = slacks(w)
@@ -418,7 +432,9 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # --- convergence + barrier update (checked before the step) ---
         err_0 = kkt_error(w, lam, zl, zu, g, ATlam, c, 0.0)
         converged = err_0 <= cfg.tol
-        if cfg.mu_strategy == "mehrotra":
+        if polish:
+            pass  # μ pinned at polish_mu; no barrier-path update
+        elif cfg.mu_strategy == "mehrotra":
             pass  # μ set by the predictor-corrector below
         elif cfg.mu_strategy == "adaptive":
             # LOQO centrality rule: μ = σ · avg complementarity, with σ
@@ -457,7 +473,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         slack = (cfg.theta_noise_per_row * jnp.asarray(max(m, 1), dtype)
                  * (1.0 + jnp.max(jnp.abs(w))))
         th_ok = th0 <= jnp.maximum(slack, cfg.tol)
-        if cfg.watchdog > 0:
+        if cfg.watchdog > 0 and not polish:
             progress = th0 <= 0.95 * state.th_best
             restore = (state.stall >= cfg.watchdog) & ~th_ok
             stall_new = jnp.where(progress | th_ok | restore, 0,
@@ -481,7 +497,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # second-order Δs∘Δz corrections (zero except under Mehrotra)
         corr_l = jnp.zeros_like(w)
         corr_u = jnp.zeros_like(w)
-        if cfg.mu_strategy == "mehrotra":
+        if cfg.mu_strategy == "mehrotra" and not polish:
             # affine predictor: same blocks, μ=0 rhs
             r_aff = g + ATlam
             dw_a, dlam_a, ok_a, resolve_kkt = direction_fn(
@@ -704,7 +720,11 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # Freeze this member if it was already done, just converged, or ran
         # out of iterations — required for correctness under vmap, where the
         # loop keeps running until *every* batch member's cond is false.
-        keep = state.done | converged | (state.it >= cfg.max_iter)
+        # Polish iterations never freeze: they are the fixed extra
+        # centering steps AFTER convergence (done/converged flags carry
+        # through untouched).
+        keep = (jnp.asarray(False) if polish
+                else state.done | converged | (state.it >= cfg.max_iter))
         new = IPState(w=w_new, lam=lam_new, zl=zl_new, zu=zu_new, mu=mu,
                       nu=nu, it=state.it + 1,
                       done=state.done | converged,
@@ -758,6 +778,16 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                 trace = None
                 state = jax.lax.while_loop(cond, lambda s: iteration(s, rt),
                                            state)
+            if cfg.polish_iters > 0:
+                # Fixed extra centering at μ = polish_mu: strips the
+                # O(μ_floor) barrier bias from the converged point
+                # (lockstep-safe — every member pays exactly this many
+                # cheap warm iterations; see IPConfig.polish_iters).
+                state = state._replace(
+                    mu=jnp.asarray(cfg.polish_mu, dtype))
+                state = jax.lax.scan(
+                    lambda s, _: (iteration(s, rt, polish=True), None),
+                    state, None, length=cfg.polish_iters)[0]
             # Final convergence check (the loop checks at iteration entry).
             g = grad_obj(state.w, rt)
             c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt),

@@ -237,3 +237,37 @@ def test_multi_start_matches_single_on_convex():
     assert bool(multi.converged)
     np.testing.assert_allclose(np.asarray(multi.u), np.asarray(single.u),
                                atol=5e-4)
+
+
+def test_polish_strips_barrier_bias(lv_mpc):
+    """polish_iters: fixed centering iterations at a tiny μ after the main
+    loop.  The converged IP point carries an O(μ_floor) barrier bias in the
+    controls at active bounds; the polished point must be strictly closer
+    to the f64 SLSQP golden without extra convergence demands (lockstep-
+    safe: exactly polish_iters extra iterations per member)."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)  # noqa: E731
+    box = nempc.DomainConstraint(
+        states_constraint=[[-np.inf, 2.0], [-np.inf, np.inf]],
+        control_constraint=[[-1.0, 1.0]])
+    x0 = jnp.array([0.3, 0.2])
+
+    def solve_with(cfg):
+        mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1,
+                         integrator="rk4", config=cfg)
+        res = mpc.next(x0)
+        assert bool(res.converged)
+        golden = slsqp_golden(mpc.nlp, nempc.runtime(x0),
+                              mpc.cold_start(x0).w)
+        gap = float(np.max(np.abs(np.asarray(res.u).ravel()
+                                  - golden[20:30])))
+        return res, gap
+
+    plain, gap_plain = solve_with(IPConfig(max_iter=80, tol=1e-4))
+    pol, gap_pol = solve_with(IPConfig(max_iter=80, tol=1e-4,
+                                       polish_iters=3, polish_mu=1e-8))
+    # exactly polish_iters extra iterations (same main-loop path)
+    assert int(pol.iterations) == int(plain.iterations) + 3
+    # and a strictly better match to the golden
+    assert gap_pol < gap_plain
+    assert gap_pol < 1e-4
