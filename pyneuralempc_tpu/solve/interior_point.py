@@ -578,8 +578,16 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
 
         # --- merit line search on a fixed fan of step lengths ---
         # (θ/slack at the current point already computed by the watchdog)
-        nu = jnp.clip(jnp.maximum(nu, 1.1 * jnp.max(jnp.abs(lam + dlam)) + 1.0),
-                      cfg.nu_init, 1e5)
+        # Penalty update with DECAY: ν must dominate the current multiplier
+        # estimate for the merit to be exact, but a one-off garbage step
+        # (huge Δλ from a near-singular iterate) must not pin ν high
+        # forever — a monotone ν was observed strangling the line search
+        # (quadrotor cold tail: ν spiked 1.8e2→4.2e3 at one iteration and
+        # every later step crawled at α~1e-2 on the ν·θ term, burning the
+        # iteration cap).  Geometric decay toward the live estimate keeps
+        # exactness while recovering from spikes within a few iterations.
+        nu_target = 1.1 * jnp.max(jnp.abs(lam + dlam)) + 1.0
+        nu = jnp.clip(jnp.maximum(nu_target, 0.7 * nu), cfg.nu_init, 1e5)
         phi0 = barrier_value(w, rt, mu)
         merit0 = phi0 + nu * th0
         grad_phi = (g - jnp.where(has_lb, mu / sl, 0.0)

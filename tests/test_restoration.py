@@ -83,3 +83,41 @@ def test_batched_mixed_feasible_infeasible():
     jax.block_until_ready(carry.w)
     conv = np.asarray(res.converged)
     assert not conv[0] and conv[1] and conv[2]
+
+
+def test_merit_penalty_recovers_from_spike():
+    """The merit penalty ν must decay back toward the live multiplier
+    estimate.  Regression: a quadrotor cold start whose iteration-4 KKT
+    step produced a garbage Δλ spiked ν 1.8e2→4.2e3; with monotone ν every
+    later line search crawled at α~1e-2 on the ν·θ term and the member
+    burned an 80-iteration cap (kkt stuck ~0.5).  With geometric ν decay
+    the same start converges in ~25 iterations."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from quadrotor import F_HOVER, quad_f
+
+    truth = nempc.jax_dynamics(quad_f(), x_dim=12, u_dim=4)
+    cost = StageCost(
+        stage=lambda x, u: (jnp.sum(x[:3] ** 2) + 0.1 * jnp.sum(x[3:6] ** 2)
+                            + 0.5 * jnp.sum(x[6:8] ** 2) + 0.1 * x[8] ** 2
+                            + 0.02 * jnp.sum(x[9:] ** 2)
+                            + 0.05 * jnp.sum((u - F_HOVER) ** 2)),
+        terminal=lambda x: 5.0 * (jnp.sum(x[:3] ** 2)
+                                  + jnp.sum(x[3:6] ** 2)))
+    box = nempc.DomainConstraint(
+        states_constraint=[[-5.0, 5.0]] * 3 + [[-8.0, 8.0]] * 3
+        + [[-0.8, 0.8]] * 2 + [[-np.pi, np.pi]] + [[-8.0, 8.0]] * 3,
+        control_constraint=[[0.0, 3.0]] * 4)
+    mpc = nempc.NMPC(truth, cost, [box], H=50, DT=0.02, integrator="rk4",
+                     config=IPConfig(max_iter=45))
+    # a fleet-draw member (np.random.default_rng(0), B=4096) that was one
+    # of the nine 80-iteration-cap stragglers before the ν decay
+    x0 = jnp.asarray([0.86707085, 0.72070843, -0.22383894, 0.09169942,
+                      -0.05409374, 0.4972413, 0.04260347, 0.08484546,
+                      0.0, 0.0, 0.0, 0.0])
+    res = mpc.next(x0)
+    assert bool(res.converged), (int(res.iterations),
+                                 float(res.kkt_error))
+    assert int(res.iterations) <= 45
