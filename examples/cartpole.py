@@ -102,11 +102,15 @@ def main():
     phi_true = step_fn(truth, "rk4", DT)
     x = jnp.array([0.0, 0.0, np.pi - 0.05, 0.0])  # hanging (tiny offset
     # breaks the exact-saddle symmetry at theta=pi where all gradients vanish)
-    conv, traj, us = [], [x], []
+    import time
+    conv, traj, us, lat = [], [x], [], []
     plan, k = None, 0
     for t in range(args.steps):
         if t % 2 == 0:
+            t0 = time.perf_counter()
             res = mpc.next(x, params=params)
+            jax.block_until_ready(res.u)
+            lat.append(time.perf_counter() - t0)
             plan, k = res, 0
             conv.append(bool(res.converged))
         u = plan.u[k]
@@ -114,6 +118,12 @@ def main():
         x = phi_true(x[None, :], u[None, :])[0]
         traj.append(x)
         us.append(float(u[0]))
+    # blocking re-plan latency (drop the compile-laden first two solves)
+    if len(lat) > 4:
+        warm = np.asarray(lat[2:])
+        print(f"re-plan latency (H=50, nonlinear tip constraint, "
+              f"riccati): p50={np.median(warm)*1e3:.1f}ms  "
+              f"min={warm.min()*1e3:.1f}ms")
 
     traj = np.asarray(traj)
     cos_final = float(np.cos(traj[-1, 2]))
