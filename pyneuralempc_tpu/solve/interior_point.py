@@ -407,12 +407,13 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     def dense_direction(w, lam, rt, Sigma, r_tilde, c):
         """Default KKT backend: dense Hessian + full-space LU.  Returns
         ``(dw, dlam, ok, resolve)`` — resolve reuses W and A (the autodiff)
-        for a new rhs (second-order-correction hook)."""
+        for a new rhs (second-order-correction / cheap-polish hook)."""
         W = hess_w(w, lam, rt)
         A = jac_cons(w, rt)
 
-        def resolve(r2, c2, retry=True):
-            return kkt_step(W, Sigma, A, r2, c2, retry=retry)
+        def resolve(r2, c2, retry=True, Sigma2=None):
+            return kkt_step(W, Sigma if Sigma2 is None else Sigma2, A,
+                            r2, c2, retry=retry)
 
         dw, dlam, ok = resolve(r_tilde, c)
         return dw, dlam, ok, resolve
@@ -420,7 +421,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
     direction_fn = (direction(nlp, cfg) if direction is not None
                     else dense_direction)
 
-    def iteration(state: IPState, rt, polish=False) -> IPState:
+    def iteration(state: IPState, rt) -> IPState:
         w, lam, zl, zu, mu, nu = (state.w, state.lam, state.zl, state.zu,
                                   state.mu, state.nu)
         sl, su = slacks(w)
@@ -432,9 +433,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # --- convergence + barrier update (checked before the step) ---
         err_0 = kkt_error(w, lam, zl, zu, g, ATlam, c, 0.0)
         converged = err_0 <= cfg.tol
-        if polish:
-            pass  # μ pinned at polish_mu; no barrier-path update
-        elif cfg.mu_strategy == "mehrotra":
+        if cfg.mu_strategy == "mehrotra":
             pass  # μ set by the predictor-corrector below
         elif cfg.mu_strategy == "adaptive":
             # LOQO centrality rule: μ = σ · avg complementarity, with σ
@@ -473,7 +472,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         slack = (cfg.theta_noise_per_row * jnp.asarray(max(m, 1), dtype)
                  * (1.0 + jnp.max(jnp.abs(w))))
         th_ok = th0 <= jnp.maximum(slack, cfg.tol)
-        if cfg.watchdog > 0 and not polish:
+        if cfg.watchdog > 0:
             progress = th0 <= 0.95 * state.th_best
             restore = (state.stall >= cfg.watchdog) & ~th_ok
             stall_new = jnp.where(progress | th_ok | restore, 0,
@@ -497,7 +496,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # second-order Δs∘Δz corrections (zero except under Mehrotra)
         corr_l = jnp.zeros_like(w)
         corr_u = jnp.zeros_like(w)
-        if cfg.mu_strategy == "mehrotra" and not polish:
+        if cfg.mu_strategy == "mehrotra":
             # affine predictor: same blocks, μ=0 rhs
             r_aff = g + ATlam
             dw_a, dlam_a, ok_a, resolve_kkt = direction_fn(
@@ -728,11 +727,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # Freeze this member if it was already done, just converged, or ran
         # out of iterations — required for correctness under vmap, where the
         # loop keeps running until *every* batch member's cond is false.
-        # Polish iterations never freeze: they are the fixed extra
-        # centering steps AFTER convergence (done/converged flags carry
-        # through untouched).
-        keep = (jnp.asarray(False) if polish
-                else state.done | converged | (state.it >= cfg.max_iter))
+        keep = state.done | converged | (state.it >= cfg.max_iter)
         new = IPState(w=w_new, lam=lam_new, zl=zl_new, zu=zu_new, mu=mu,
                       nu=nu, it=state.it + 1,
                       done=state.done | converged,
@@ -790,12 +785,119 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                 # Fixed extra centering at μ = polish_mu: strips the
                 # O(μ_floor) barrier bias from the converged point
                 # (lockstep-safe — every member pays exactly this many
-                # cheap warm iterations; see IPConfig.polish_iters).
+                # steps; see IPConfig.polish_iters).  Cheap by
+                # construction: the expensive stage-block autodiff is
+                # factored ONCE at the converged point and each polish
+                # step re-solves through the backend's resolve hook with a
+                # fresh rhs and fresh bound Σ — near the optimum the
+                # blocks are second-order-stale at most.  Full steps under
+                # the fraction-to-boundary cap (no line search); a final
+                # rollback guard keeps the polished point only where the
+                # μ=0 KKT error did not degrade.
+                mu_p = jnp.asarray(cfg.polish_mu, dtype)
+
+                def bound_terms(w):
+                    sl, su = slacks(w)
+                    return (jnp.where(has_lb, mu_p / sl, 0.0)
+                            - jnp.where(has_ub, mu_p / su, 0.0), sl, su)
+
+                def residuals(w, lam):
+                    g = grad_obj(w, rt)
+                    c, cvjp = jax.vjp(
+                        lambda ww: nlp.constraints(ww, rt), w)
+                    return g, c, cvjp(lam)[0]
+
+                g0, c0, ATl0 = residuals(state.w, state.lam)
+                bt0, sl0, su0 = bound_terms(state.w)
+                Sig0 = (jnp.where(has_lb, state.zl / sl0, 0.0)
+                        + jnp.where(has_ub, state.zu / su0, 0.0))
+                _, _, _, resolve_p = direction_fn(
+                    state.w, state.lam, rt, Sig0, g0 + ATl0 - bt0, c0)
+
+                def pbody(st, _):
+                    w, lam, zl, zu = st
+                    g, c, ATl = residuals(w, lam)
+                    bterm, sl, su = bound_terms(w)
+                    Sig = (jnp.where(has_lb, zl / sl, 0.0)
+                           + jnp.where(has_ub, zu / su, 0.0))
+                    dw, dlam, okp = resolve_p(g + ATl - bterm, c,
+                                              retry=False, Sigma2=Sig)
+                    dzl = jnp.where(has_lb,
+                                    mu_p / sl - zl - (zl / sl) * dw, 0.0)
+                    dzu = jnp.where(has_ub,
+                                    (zu / su) * dw - zu + mu_p / su, 0.0)
+                    tau = cfg.tau_min
+                    a_l = jnp.where(has_lb & (dw < 0),
+                                    -tau * sl / jnp.where(dw < 0, dw, -1.0),
+                                    jnp.inf)
+                    a_u = jnp.where(has_ub & (dw > 0),
+                                    tau * su / jnp.where(dw > 0, dw, 1.0),
+                                    jnp.inf)
+                    a_p = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l),
+                                                       jnp.min(a_u)))
+                    a_zl = jnp.where(dzl < 0,
+                                     -tau * zl / jnp.where(dzl < 0, dzl,
+                                                           -1.0), jnp.inf)
+                    a_zu = jnp.where(dzu < 0,
+                                     -tau * zu / jnp.where(dzu < 0, dzu,
+                                                           -1.0), jnp.inf)
+                    a_d = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl),
+                                                       jnp.min(a_zu)))
+                    w2 = w + a_p * dw
+                    lam2 = lam + a_p * dlam
+                    zl2 = zl + a_d * dzl
+                    zu2 = zu + a_d * dzu
+                    # f32-representable slack floor: at μ=1e-8 the
+                    # polished actives want slacks ~1e-10, but lb + 1e-10
+                    # ROUNDS TO lb in f32 (eps ≈ 6e-8 at |w|≈1) — a zero
+                    # slack then reads as an infinite KKT residual and
+                    # the rollback guard rejects the whole polish.
+                    fl = jnp.where(has_lb,
+                                   lb + 2e-7 * jnp.maximum(1.0, jnp.abs(lb)),
+                                   -jnp.inf)
+                    fu = jnp.where(has_ub,
+                                   ub - 2e-7 * jnp.maximum(1.0, jnp.abs(ub)),
+                                   jnp.inf)
+                    w2 = jnp.clip(w2, jnp.minimum(fl, fu),
+                                  jnp.maximum(fl, fu))
+                    sl2, su2 = slacks(w2)
+                    zl2 = jnp.where(
+                        has_lb, jnp.clip(zl2, mu_p / (cfg.kappa_sigma * sl2),
+                                         cfg.kappa_sigma * mu_p / sl2), 0.0)
+                    zu2 = jnp.where(
+                        has_ub, jnp.clip(zu2, mu_p / (cfg.kappa_sigma * su2),
+                                         cfg.kappa_sigma * mu_p / su2), 0.0)
+                    good = (okp & jnp.all(jnp.isfinite(w2))
+                            & jnp.all(jnp.isfinite(lam2)))
+                    return (jnp.where(good, w2, w),
+                            jnp.where(good, lam2, lam),
+                            jnp.where(good, zl2, zl),
+                            jnp.where(good, zu2, zu)), None
+
+                (w_p, lam_p, zl_p, zu_p), _ = jax.lax.scan(
+                    pbody, (state.w, state.lam, state.zl, state.zu),
+                    None, length=cfg.polish_iters)
+                # rollback guard: polished point must not degrade the μ=0
+                # KKT error (stale blocks are a model, not a guarantee)
+                g1, c1, ATl1 = residuals(state.w, state.lam)
+                err_pre = kkt_error(state.w, state.lam, state.zl,
+                                    state.zu, g1, ATl1, c1, 0.0)
+                g2, c2, ATl2 = residuals(w_p, lam_p)
+                err_post = kkt_error(w_p, lam_p, zl_p, zu_p, g2, ATl2,
+                                     c2, 0.0)
+                take = err_post <= jnp.maximum(err_pre, cfg.tol)
+                if cfg.debug:
+                    jax.debug.print(
+                        "polish: err_pre={a:.2e} err_post={b:.2e} take={t} "
+                        "|dw_total|={d:.2e}",
+                        a=err_pre, b=err_post, t=take,
+                        d=jnp.max(jnp.abs(w_p - state.w)))
                 state = state._replace(
-                    mu=jnp.asarray(cfg.polish_mu, dtype))
-                state = jax.lax.scan(
-                    lambda s, _: (iteration(s, rt, polish=True), None),
-                    state, None, length=cfg.polish_iters)[0]
+                    w=jnp.where(take, w_p, state.w),
+                    lam=jnp.where(take, lam_p, state.lam),
+                    zl=jnp.where(take, zl_p, state.zl),
+                    zu=jnp.where(take, zu_p, state.zu),
+                    mu=mu_p)
             # Final convergence check (the loop checks at iteration entry).
             g = grad_obj(state.w, rt)
             c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt),

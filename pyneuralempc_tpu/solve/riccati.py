@@ -287,48 +287,57 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
     def direction(w, lam, rt, Sigma, r_tilde, c_full):
         """Returns ``(dw, dlam, ok, resolve)``; ``resolve(r_tilde2, c2)``
         re-solves with the SAME stage blocks (the expensive autodiff) and a
-        new right-hand side — the second-order-correction hook."""
-        A, B, G, M, Jgs = stage_blocks(w, lam, rt)
+        new right-hand side — the second-order-correction / cheap-polish
+        hook (pass ``Sigma2`` to also re-fold a fresh bound Σ)."""
+        A, B, G, M0, Jgs = stage_blocks(w, lam, rt)
+        G = jnp.nan_to_num(G, posinf=1e10, neginf=-1e10)
+        M0 = jnp.nan_to_num(M0, posinf=1e10, neginf=-1e10)
 
-        # fold Σ into the stage cost Hessian diagonal
         ix = jnp.arange(nx)
         iu = jnp.arange(nu)
-        Sig_x = Sigma[: H * nx].reshape(H, nx)
-        Sig_u = Sigma[H * nx: H * (nx + nu)].reshape(H, nu)
-        M = M.at[:, ix, ix].add(jnp.clip(jnp.nan_to_num(Sig_x, posinf=1e10),
-                                         0.0, 1e10))
-        M = M.at[:, nx + iu, nx + iu].add(
-            jnp.clip(jnp.nan_to_num(Sig_u, posinf=1e10), 0.0, 1e10))
 
-        # Stage-constraint slack elimination (the stage-wise analog of box
-        # Σ folding).  With slack rows  g_t(x_{t+1}, u_t) − s_t = −c_g and
-        # slack stationarity  Σ_s Δs − Δν = −r̃_s, eliminating (Δs, Δν)
-        # condenses into the stage blocks:
-        #     M_t += J_gᵀ Σ_s J_g
-        #     m_t += J_gᵀ (Σ_s ∘ c_g + r̃_s)
-        # and the eliminated steps are recovered after the sweep as
-        #     Δs = J_g Δ(x,u) + c_g,   Δν = Σ_s ∘ Δs + r̃_s.
-        # (δ regularisation is applied to the (x,u) block only — Σ_s > 0
-        # keeps the slack elimination well-posed at δ=0.)
-        Sig_ss = []
-        for (pc, r, off), Jg in zip(pcs, Jgs):
-            Sig_s = Sigma[n_primal + off: n_primal + off + H * r
-                          ].reshape(H, r)
-            Sig_s = jnp.clip(jnp.nan_to_num(Sig_s, posinf=1e10), 0.0, 1e10)
-            M = M + jnp.einsum("trn,tr,trm->tnm", Jg, Sig_s, Jg)
-            Sig_ss.append(Sig_s)
+        def fold_sigma(Sig):
+            """Σ (bounds) + stage-constraint slack elimination into the
+            per-stage Hessian blocks.  With slack rows  g_t(x_{t+1}, u_t)
+            − s_t = −c_g and slack stationarity  Σ_s Δs − Δν = −r̃_s,
+            eliminating (Δs, Δν) condenses into the stage blocks:
+                M_t += J_gᵀ Σ_s J_g
+                m_t += J_gᵀ (Σ_s ∘ c_g + r̃_s)
+            and the eliminated steps are recovered after the sweep as
+                Δs = J_g Δ(x,u) + c_g,   Δν = Σ_s ∘ Δs + r̃_s.
+            (δ regularisation is applied to the (x,u) block only — Σ_s > 0
+            keeps the slack elimination well-posed at δ=0.)"""
+            Sig_x = Sig[: H * nx].reshape(H, nx)
+            Sig_u = Sig[H * nx: H * (nx + nu)].reshape(H, nu)
+            M = M0.at[:, ix, ix].add(
+                jnp.clip(jnp.nan_to_num(Sig_x, posinf=1e10), 0.0, 1e10))
+            M = M.at[:, nx + iu, nx + iu].add(
+                jnp.clip(jnp.nan_to_num(Sig_u, posinf=1e10), 0.0, 1e10))
+            Sig_ss = []
+            for (pc, r, off), Jg in zip(pcs, Jgs):
+                Sig_s = Sig[n_primal + off: n_primal + off + H * r
+                            ].reshape(H, r)
+                Sig_s = jnp.clip(jnp.nan_to_num(Sig_s, posinf=1e10), 0.0,
+                                 1e10)
+                M = M + jnp.einsum("trn,tr,trm->tnm", Jg, Sig_s, Jg)
+                Sig_ss.append(Sig_s)
+            M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
+            return M, Sig_ss
 
-        G = jnp.nan_to_num(G, posinf=1e10, neginf=-1e10)
-        M = jnp.nan_to_num(M, posinf=1e10, neginf=-1e10)
-
+        M_base, Sig_ss_base = fold_sigma(Sigma)
         deltas = jnp.asarray(_DELTAS, w.dtype)
 
-        def resolve(r_tilde2, c2_full, retry=True):
+        def resolve(r_tilde2, c2_full, retry=True, Sigma2=None):
             """``retry=False`` does a single δ=0 sweep with no while_loop —
             required where resolve is traced inside lax.cond inside the
             line-search loop (the SOC call): a δ-retry while nested there
             faults the TPU compiler at fleet batch sizes (observed at
-            B>=1024, H=50, 12-state)."""
+            B>=1024, H=50, 12-state).  ``Sigma2`` re-folds a fresh bound Σ
+            into the cached stage blocks (the polish hook)."""
+            if Sigma2 is None:
+                M, Sig_ss = M_base, Sig_ss_base
+            else:
+                M, Sig_ss = fold_sigma(Sigma2)
             c2 = c2_full[: H * nx].reshape(H, nx)
             m_x = r_tilde2[: H * nx].reshape(H, nx)
             m_u = r_tilde2[H * nx: H * (nx + nu)].reshape(H, nu)
