@@ -106,10 +106,14 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
 
     from ..core.problem import runtime as _runtime
 
+    if plant_params is None:
+        _plant_one = plant_step
+    else:
+        def _plant_one(xx, uu):
+            return plant_step(xx, uu, plant_params)
+
     def vplant(x, u):
-        one = (lambda xx, uu: plant_step(xx, uu) if plant_params is None
-               else plant_step(xx, uu, plant_params))
-        return jax.vmap(one)(x, u)
+        return jax.vmap(_plant_one)(x, u)
 
     def cold(x0, rt_):
         c = mpc.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],

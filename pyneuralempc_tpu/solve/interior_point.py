@@ -136,7 +136,7 @@ class IPConfig:
     # ν≈430, 90 iterations at α≈0.008).  Steps that keep θ under the floor
     # are therefore judged on the barrier function's own Armijo condition
     # (the analog of Ipopt's f-type switching rule).
-    polish_iters: int = 0          # fixed extra centering iterations at
+    polish_iters: int = 0          # fixed extra centering steps at
                                    # μ = polish_mu after the main loop.
                                    # The IP optimum carries an O(μ_floor)
                                    # barrier bias in the controls at
@@ -145,10 +145,12 @@ class IPConfig:
                                    # makes tail members burn max_iter in
                                    # lockstep (measured: tol=1e-6 on TPU
                                    # = 18× throughput loss).  A fixed
-                                   # polish pass is lockstep-safe: every
-                                   # member pays exactly polish_iters
-                                   # cheap warm iterations and the bias
-                                   # drops ~(μ_polish/μ_floor)×.
+                                   # polish pass is lockstep-safe AND
+                                   # cheap: the stage blocks are factored
+                                   # once and each step is an rhs-only
+                                   # re-solve (see the polish block in
+                                   # ``solve``); the bias drops
+                                   # ~(μ_polish/μ_floor)×.
     polish_mu: float = 1e-7
     delta_c: float = 1e-8          # dual regularisation
     nu_init: float = 1.0           # merit penalty initial value
