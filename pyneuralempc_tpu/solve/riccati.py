@@ -191,10 +191,15 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         tvp = rt["tvp"]
         p, params = rt["p"], rt.get("params")
 
-        # remat: the second-derivative passes through Φ (4 model calls for
-        # rk4) dominate peak memory at fleet scales; recompute instead of
+        # remat (gated by NEMPC_NO_REMAT=1 for experiments): the
+        # second-derivative passes through Φ (4 model calls for rk4)
+        # dominate peak memory at fleet scales; recompute instead of
         # storing the per-stage forward intermediates.
-        @jax.checkpoint
+        import os as _os
+        _maybe_remat = (lambda f: f) if _os.environ.get(
+            "NEMPC_NO_REMAT") == "1" else jax.checkpoint
+
+        @_maybe_remat
         def per_stage(x_t, u_t, lam_row, tvp_t):
             f = lambda xu: phi1(xu[:nx], xu[nx:], p, tvp_t, params)
             xu = jnp.concatenate([x_t, u_t])
