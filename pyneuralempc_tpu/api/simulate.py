@@ -77,7 +77,7 @@ class FleetLoopResult(NamedTuple):
 
 def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
                       replan_every: int = 1, p=None, params=None,
-                      plant_params=None) -> FleetLoopResult:
+                      plant_params=None, tvp_seq=None) -> FleetLoopResult:
     """Batched closed-loop MPC, fully on-device (one compiled program).
 
     The single-plant :func:`closed_loop` is a host Python loop — fine for
@@ -88,7 +88,13 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
     are the initial transfer and the final fetch.
 
     ``plant_step(x, u[, plant_params]) -> x_next`` on single vectors
-    (vmapped internally).  ``p``/``params`` are shared across the batch.
+    (vmapped internally).  ``p``/``params`` may be shared across the batch
+    or carry a leading batch axis (per-member parameters / per-member
+    models — detected like :meth:`NMPC.next_batch`).  ``tvp_seq``
+    optionally supplies the time-varying-parameter look-ahead window for
+    every solve: shape (n_replans+1, H, tvp_dim) — index 0 feeds the cold
+    solve, index j+1 the j-th warm re-plan (the batched analog of
+    :func:`closed_loop`'s ``tvp_fn``).
     Failure policy matches :func:`closed_loop`: a member whose re-plan did
     not converge keeps playing its previous plan (shifted to stay aligned
     in time) while its warm carry keeps improving.
@@ -103,8 +109,16 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
         raise ValueError("replan_every cannot exceed the horizon H")
     n_replans = steps // replan_every
     x0s = jnp.asarray(x0s)
+    B = x0s.shape[0]
+    if tvp_seq is not None:
+        tvp_seq = jnp.asarray(tvp_seq)
+        if tvp_seq.shape[0] != n_replans + 1:
+            raise ValueError(
+                f"tvp_seq must supply n_replans+1 = {n_replans + 1} "
+                f"windows, got {tvp_seq.shape[0]}")
 
     from ..core.problem import runtime as _runtime
+    from .controller import _baxis, _baxis_tree
 
     if plant_params is None:
         _plant_one = plant_step
@@ -120,7 +134,8 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
                            params=rt_["params"])
         return mpc._step(c, rt_)
 
-    axes = {"x0": 0, "p": None, "tvp": None, "params": None}
+    axes = {"x0": 0, "p": _baxis(p, 1), "tvp": None,
+            "params": _baxis_tree(params, B)}
     vcold = jax.vmap(cold, in_axes=(0, axes))
     vwarm = jax.vmap(mpc._warm_step, in_axes=(0, axes))
 
@@ -128,10 +143,13 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
         return (res.converged, res.iterations, res.objective, res.theta)
 
     def run(x0s, rt):
+        if tvp_seq is not None:
+            rt = dict(rt)
+            rt["tvp"] = tvp_seq[0]
         carry, res = vcold(x0s, rt)
         cold_stats = stats(res)
 
-        def body(st, _):
+        def body(st, j):
             carry, x, plan_u = st
             xs, us = [], []
             for k in range(replan_every):
@@ -141,6 +159,8 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
                 us.append(u_k)
             rt_t = dict(rt)
             rt_t["x0"] = x
+            if tvp_seq is not None:
+                rt_t["tvp"] = tvp_seq[j + 1]
             carry, res = vwarm(carry, rt_t)
             # failure policy: non-converged members keep playing their
             # previous plan, shifted by the controls just consumed
@@ -152,12 +172,11 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
                     (jnp.stack(xs), jnp.stack(us), stats(res)))
 
         (carry, x, _), (xs, us, warm_stats) = jax.lax.scan(
-            body, (carry, x0s, res.u), None, length=n_replans)
+            body, (carry, x0s, res.u), jnp.arange(n_replans))
         return carry, xs, us, cold_stats, warm_stats
 
     carry, xs, us, cold_stats, warm_stats = jax.jit(run)(
         x0s, _runtime(x0s, p=p, params=params))
-    B = x0s.shape[0]
     # (n_replans, r, B, d) -> (steps, B, d); prepend x0
     x_traj = jnp.concatenate([x0s[None], xs.reshape(steps, B, -1)])
     u_traj = us.reshape(steps, B, -1)

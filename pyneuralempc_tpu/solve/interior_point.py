@@ -894,12 +894,15 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                         "|dw_total|={d:.2e}",
                         a=err_pre, b=err_post, t=take,
                         d=jnp.max(jnp.abs(w_p - state.w)))
+                # μ must stay consistent with the returned point (the
+                # differentiable-MPC IFT uses res.mu for its Σ), so a
+                # rolled-back member keeps its pre-polish μ.
                 state = state._replace(
                     w=jnp.where(take, w_p, state.w),
                     lam=jnp.where(take, lam_p, state.lam),
                     zl=jnp.where(take, zl_p, state.zl),
                     zu=jnp.where(take, zu_p, state.zu),
-                    mu=mu_p)
+                    mu=jnp.where(take, mu_p, state.mu))
             # Final convergence check (the loop checks at iteration entry).
             g = grad_obj(state.w, rt)
             c, cons_vjp = jax.vjp(lambda ww: nlp.constraints(ww, rt),

@@ -110,3 +110,35 @@ def test_controller_differentiable_flag():
     g = jax.grad(loss)(jnp.array([0.3, 0.2]))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_grad_with_polish_matches_fd():
+    """Polish changes the returned point (μ = polish_mu stationary) and
+    res.mu rides with it — the IFT gradient must stay FD-consistent."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = StageCost(stage=lambda x, u: 1.1 * jnp.sum(u)
+                     + 0.2 * jnp.sum(x ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    cfg = IPConfig(max_iter=80, tol=1e-6, polish_iters=3, polish_mu=1e-8)
+    mpc = nempc.NMPC(model, cost, [box], H=8, DT=0.1, integrator="rk4",
+                     config=cfg)
+    solve = make_differentiable_solver(mpc.nlp, cfg,
+                                       direction=make_riccati_direction)
+
+    def loss(x0):
+        rt = nempc.runtime(x0)
+        w0 = mpc.cold_start(jax.lax.stop_gradient(x0)).w
+        res = solve(rt, w0)
+        _, U, _ = mpc.nlp.unpack(res.w)
+        return jnp.sum(U ** 2) + res.objective
+
+    x0 = jnp.array([0.3, 0.2])
+    g = jax.grad(loss)(x0)
+    eps = 1e-3
+    fd = np.zeros(2)
+    for i in range(2):
+        d = np.zeros(2)
+        d[i] = eps
+        fd[i] = (float(loss(x0 + d)) - float(loss(x0 - d))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), fd, rtol=0.05, atol=5e-3)

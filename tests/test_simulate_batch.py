@@ -88,3 +88,54 @@ def test_failure_policy_keeps_previous_plan():
     # produce finite trajectories (playing the shifted cold plan)
     assert not bool(jnp.any(out.converged[1:]))
     assert np.all(np.isfinite(np.asarray(out.x)))
+
+
+def test_tvp_seq_windows_reach_each_solve():
+    """tvp_seq supplies a fresh look-ahead window per re-plan: a
+    price-signal tvp flips sign between windows, so the planned controls
+    must flip with it (proves each solve saw ITS window)."""
+    model = nempc.jax_dynamics(lambda x, u, p=None, tvp=None: lv_f(x, u),
+                               x_dim=2, u_dim=1, tvp_dim=1)
+    cost = StageCost(stage=lambda x, u, p, tvp: jnp.sum(tvp[0] * u)
+                     + 0.05 * jnp.sum(x ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    H = 6
+    mpc = nempc.NMPC(model, cost, [box], H=H, DT=0.1, integrator="rk4",
+                     config=IPConfig(tol=1e-5))
+    plant = plant_from_model(mpc.model, "rk4", 0.1)
+    x0s = X0S[:2]
+    # window 0,1: price +1 (push u to -1); window 2: price -1 (u to +1)
+    tvp_seq = jnp.stack([jnp.full((H, 1), 1.0), jnp.full((H, 1), 1.0),
+                         jnp.full((H, 1), -1.0)])
+    out = closed_loop_batch(mpc, plant, x0s, steps=2, replan_every=1,
+                            tvp_seq=tvp_seq)
+    assert bool(jnp.all(out.converged))
+    # applied u at step 0/1 come from price=+1 plans -> negative
+    assert float(out.u[0].max()) < 0.0
+    assert float(out.u[1].max()) < 0.0
+
+    with pytest.raises(ValueError, match="n_replans"):
+        closed_loop_batch(mpc, plant, x0s, steps=2, replan_every=1,
+                          tvp_seq=tvp_seq[:2])
+
+
+def test_per_member_params():
+    """params with a leading batch axis = a different model per member."""
+    from pyneuralempc_tpu.models.mlp import MLPDynamics
+    sur = MLPDynamics.make(x_dim=2, u_dim=1, hidden=[8])
+    p0 = sur.init_params(jax.random.PRNGKey(0))
+    p1 = sur.init_params(jax.random.PRNGKey(1))
+    params = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), p0, p1)
+    cost = StageCost(stage=lambda x, u: jnp.sum(u ** 2)
+                     + jnp.sum((x - 0.2) ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(sur, cost, [box], H=5, DT=0.1, integrator="rk4",
+                     config=IPConfig(tol=1e-5))
+    plant = plant_from_model(sur, "rk4", 0.1, params=p0)
+    x0s = jnp.asarray([[0.1, 0.1], [0.1, 0.1]])   # same x0, different model
+    out = closed_loop_batch(mpc, plant, x0s, steps=2, params=params)
+    assert bool(jnp.all(out.converged))
+    # different member models must produce different plans
+    assert float(jnp.max(jnp.abs(out.u[:, 0] - out.u[:, 1]))) > 1e-4
