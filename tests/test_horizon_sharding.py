@@ -83,3 +83,47 @@ def test_end_to_end_horizon_solve():
     assert bool(jnp.all(r_sh.converged))
     np.testing.assert_allclose(np.asarray(r_sh.u), np.asarray(r_ref.u),
                                atol=5e-4)
+
+
+def test_end_to_end_horizon_solve_with_stage_constraint():
+    """Sequence-parallel solve with an ACTIVE nonlinear StageConstraint:
+    the constraint's slack-Σ folding happens in the shared stage blocks,
+    so the horizon-sharded sweep must reproduce the plain Riccati solve."""
+    import pyneuralempc_tpu as nempc
+
+    H, B = 8, 4
+
+    def f(x, u):
+        return jnp.concatenate([x[:, 1:], u - 0.2 * x[:, :1]], axis=1)
+
+    model = nempc.jax_dynamics(f, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(
+        stage=lambda x, u: jnp.sum(u ** 2) + jnp.sum((x - 0.5) ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    # nonlinear stage constraint that the (x -> 0.5) pull activates
+    pc = nempc.stage_interval(
+        lambda x, u: jnp.array([x[0] ** 2 + x[1] ** 2]), dim=1,
+        lb=-jnp.inf, ub=0.09)
+    kw = dict(H=H, DT=0.1, integrator="rk4",
+              config=nempc.IPConfig(tol=1e-6))
+    ref_mpc = nempc.NMPC(model, cost, [box, pc], **kw)
+    sh_mpc = nempc.NMPC(model, cost, [box, pc],
+                        mesh=make_horizon_mesh(2, 4), **kw)
+    assert ref_mpc.kkt_backend == "riccati"
+    assert sh_mpc.kkt_backend == "riccati_horizon"
+
+    rng = np.random.default_rng(0)
+    # start inside the constraint ball (|x0|² well under 0.09) — starts
+    # outside it are locally infeasible for a one-step-reach constraint
+    x0s = jnp.asarray(rng.uniform(-0.15, 0.15, (B, 2)), jnp.float32)
+    _, r_ref = ref_mpc.next_batch(x0s)
+    _, r_sh = sh_mpc.next_batch(x0s)
+    assert bool(jnp.all(r_ref.converged)) and bool(jnp.all(r_sh.converged))
+    # the constraint is active somewhere (otherwise this tests nothing)
+    g = np.asarray(r_ref.x[..., 0] ** 2 + r_ref.x[..., 1] ** 2)
+    assert g.max() > 0.09 - 1e-3
+    np.testing.assert_allclose(np.asarray(r_sh.u), np.asarray(r_ref.u),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(r_sh.slack),
+                               np.asarray(r_ref.slack), atol=5e-4)

@@ -84,3 +84,26 @@ def test_pscan_solver_end_to_end():
     assert bool(r_seq.converged) and bool(r_par.converged)
     np.testing.assert_allclose(np.asarray(r_par.u), np.asarray(r_seq.u),
                                atol=2e-4)
+
+
+def test_pscan_solver_with_stage_constraint():
+    """O(log H) parallel-in-time sweep under an active StageConstraint —
+    the slack condensation lives in the shared stage blocks, so the pscan
+    backend must agree with the sequential Riccati solve."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u)
+                           + 0.05 * jnp.sum(x ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    pc = nempc.stage_interval(
+        lambda x, u: jnp.array([x[0] + 0.5 * x[1]]), dim=1,
+        lb=-0.45, ub=0.45)
+    x0 = jnp.array([0.3, 0.2])
+    kw = dict(H=40, DT=0.05, integrator="rk4")
+    r_seq = nempc.NMPC(model, cost, [box, pc],
+                       config=IPConfig(kkt="riccati"), **kw).next(x0)
+    r_par = nempc.NMPC(model, cost, [box, pc],
+                       config=IPConfig(kkt="riccati_pscan"), **kw).next(x0)
+    assert bool(r_seq.converged) and bool(r_par.converged)
+    np.testing.assert_allclose(np.asarray(r_par.u), np.asarray(r_seq.u),
+                               atol=3e-4)
