@@ -62,17 +62,20 @@ def main():
     truth = nempc.jax_dynamics(f_true, x_dim=4, u_dim=1)
 
     if args.mlp:
-        from pyneuralempc_tpu.models.mlp import MLPDynamics
-        from pyneuralempc_tpu.models.train import (fit_surrogate,
-                                                   sample_transitions)
-        surrogate = MLPDynamics.make(x_dim=4, u_dim=1, hidden=[64, 64])
-        X, U, Y = sample_transitions(f_true, jax.random.PRNGKey(0), 16384,
-                                     4, 1, x_range=(-4.0, 4.0),
-                                     u_range=(-12.0, 12.0))
-        params, mse = fit_surrogate(surrogate, X, U, Y, steps=6000, lr=2e-3,
-                                    batch=2048)
-        print(f"surrogate fitted: mse={mse:.2e}")
-        model = surrogate
+        from pyneuralempc_tpu.models.train import fit_normalized_surrogate
+
+        # angle-aware features: θ enters as (sin θ, cos θ) so the net never
+        # sees a wrap; inputs/targets are standardised (train.py)
+        def feats(x):
+            return jnp.concatenate([x[:, :2], jnp.sin(x[:, 2:3]),
+                                    jnp.cos(x[:, 2:3]), x[:, 3:4]], axis=1)
+
+        model, params, rel_mse = fit_normalized_surrogate(
+            f_true, jax.random.PRNGKey(0), x_dim=4, u_dim=1,
+            hidden=[128, 128], n=131072, x_range=(-4.0, 4.0),
+            u_range=(-12.0, 12.0), steps=12000, lr=1e-3, batch=4096,
+            feature_map=feats, feature_dim=5, name="cartpole_mlp")
+        print(f"surrogate fitted: normalized mse={rel_mse:.2e}")
     else:
         model, params = truth, None
 

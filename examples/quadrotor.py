@@ -88,17 +88,22 @@ def main():
     truth = nempc.jax_dynamics(f_true, x_dim=12, u_dim=4)
 
     if args.mlp:
-        from pyneuralempc_tpu.models.mlp import MLPDynamics
-        from pyneuralempc_tpu.models.train import (fit_surrogate,
-                                                   sample_transitions)
-        surrogate = MLPDynamics.make(x_dim=12, u_dim=4, hidden=[128, 128])
-        X, U, Y = sample_transitions(f_true, jax.random.PRNGKey(0), 65536,
-                                     12, 4, x_range=(-1.5, 1.5),
-                                     u_range=(0.0, 3.0))
-        params, mse = fit_surrogate(surrogate, X, U, Y, steps=8000, lr=1e-3,
-                                    batch=4096)
-        print(f"surrogate fitted: mse={mse:.2e}")
-        model = surrogate
+        from pyneuralempc_tpu.models.train import fit_normalized_surrogate
+
+        # attitude enters as (sin, cos) per Euler angle; inputs/targets
+        # standardised — a raw MLP on these scales fails outright
+        # (accelerations ~±25 vs rates ~±1; see train.py)
+        def feats(x):
+            ang = x[:, 6:9]
+            return jnp.concatenate([x[:, :6], jnp.sin(ang), jnp.cos(ang),
+                                    x[:, 9:12]], axis=1)
+
+        model, params, rel_mse = fit_normalized_surrogate(
+            f_true, jax.random.PRNGKey(0), x_dim=12, u_dim=4,
+            hidden=[256, 256], n=262144, x_range=(-1.5, 1.5),
+            u_range=(0.0, 3.0), steps=15000, lr=1e-3, batch=8192,
+            feature_map=feats, feature_dim=15, name="quad_mlp")
+        print(f"surrogate fitted: normalized mse={rel_mse:.2e}")
     else:
         model, params = truth, None
 

@@ -29,3 +29,10 @@ def test_cartpole_example():
 def test_quadrotor_example():
     out = run_example("quadrotor.py", "--batch", "16", "--H", "20")
     assert "converged 16/16" in out
+
+
+def test_fleet_rnn_example():
+    out = run_example("fleet_rnn.py", "--batch", "16", "--H", "16",
+                      "--steps", "1")
+    assert "kkt=riccati" in out
+    assert "converged 16/16" in out
