@@ -89,3 +89,33 @@ def test_mlp_surrogate_can_fit_linear_map():
         upd, state = opt.update(g, state)
         params = jax.tree_util.tree_map(lambda a, b: a + b, params, upd)
     assert float(lval) < 1e-3
+
+
+def test_fit_normalized_surrogate_beats_raw_on_multiscale():
+    """Standardisation + angle features: on a multi-scale wrap-prone system
+    the normalized fit must produce a model whose raw-unit predictions are
+    accurate, where the plain fit's loss is dominated by the large outputs."""
+    import jax
+    from pyneuralempc_tpu.models.train import fit_normalized_surrogate
+
+    # pendulum-ish: theta in x[0] (wraps), large-scale output channel
+    def truth(x, u):
+        return jnp.concatenate(
+            [x[:, 1:2],
+             30.0 * jnp.sin(x[:, 0:1]) + 5.0 * u], axis=1)
+
+    def feats(x):
+        return jnp.concatenate([jnp.sin(x[:, 0:1]), jnp.cos(x[:, 0:1]),
+                                x[:, 1:2]], axis=1)
+
+    model, params, rel_mse = fit_normalized_surrogate(
+        truth, jax.random.PRNGKey(0), x_dim=2, u_dim=1, hidden=[32],
+        n=4096, x_range=(-3.0, 3.0), u_range=(-1.0, 1.0), steps=1500,
+        lr=3e-3, batch=1024, feature_map=feats, feature_dim=3)
+    assert rel_mse < 1e-3                     # vs 1.0 = predicting the mean
+    X = jnp.asarray(np.random.default_rng(0).uniform(-3, 3, (64, 2)),
+                    jnp.float32)
+    U = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (64, 1)),
+                    jnp.float32)
+    err = jnp.max(jnp.abs(model(X, U, params=params) - truth(X, U)))
+    assert float(err) < 1.0                   # raw units (outputs ~±35)
