@@ -28,7 +28,11 @@ loses positive definiteness gets its stage gain recomputed at the next δ
 while healthy problems in the same tile keep δ=0, WITHOUT re-running the
 whole sweep (the outer solver's global-δ while_loop re-sweep then almost
 never fires; it remains as the fallback when even the max local bump
-fails).
+fails).  The scan reference (``solve.riccati.riccati_sweep_ref``) applies
+the SAME ``_LOCAL_DELTAS`` escalation with the same pivot criterion, so
+every backend follows one iterate path: "ok" uniformly means "solvable
+with at most the top local bump on that stage's Quu" (round-2 advisor
+finding: the backends used to diverge here).
 
 Layout: ``(rows, G, 8, 128)`` where rows flattens (t, i, j) stage-major
 and G indexes 1024-problem groups.  The per-stage math is fully unrolled
@@ -59,8 +63,15 @@ except Exception:  # pragma: no cover
 
 _TILE = 1024          # problems per grid group: one (8, 128) f32 tile each
 _VMEM_BUDGET = 12 * 1024 * 1024
-# local (per-stage, per-lane) regularisation bumps tried inside the kernel
-_LOCAL_DELTAS = (0.0, 1e-6, 1e-3, 1.0)
+# Local (per-stage, per-lane) regularisation bumps tried inside the
+# kernel/scan sweeps.  Capped at NUDGE scale (1e-4): a local bump can fix a
+# numerically-marginal pivot, but genuine indefiniteness must report
+# ok=False so the outer solver's global-δ ladder convexifies the WHOLE
+# horizon (Md diagonal) — a locally-rescued Quu under an indefinite
+# value-function P yields saddle directions, measured to wreck nonconvex
+# problems (cartpole swing-up closed loop: 2/30 re-plans converged with a
+# 1.0 top bump vs 24/30 with the ladder; round-3 regression hunt).
+_LOCAL_DELTAS = (0.0, 1e-6, 1e-4)
 
 
 def _kernel_fits(H: int, nx: int, nu: int) -> bool:

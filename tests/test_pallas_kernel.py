@@ -79,22 +79,56 @@ def test_kernel_quadrotor_dims_interpret():
 
 
 def test_kernel_local_delta_retry_interpret():
-    """A problem whose Quu is indefinite at δ=0 but fixable by a local
-    bump must come back ok=True from ONE sweep (in-kernel per-lane retry),
-    with the healthy problem's direction untouched."""
+    """A numerically-marginal pivot (within the nudge-scale local bumps)
+    must be rescued ok=True by ONE sweep — identically by the kernel's
+    per-lane retry and the scan reference's per-stage retry, so TPU and
+    CPU backends follow one iterate path."""
     args = list(make_data(B=2, H=3, seed=3))
+    # make stage 1 of problem 1 marginal: kill B there so Quu = Muu + Guu
+    # exactly, set that entry barely negative (rescuable at 1e-6), and
+    # decouple Qux/qu at that stage (Mxu = Gux = 0) — a marginal pivot
+    # under strong coupling would produce huge gains that poison the
+    # upstream value function, which is exactly the case the nudge cap
+    # defers to the global ladder
+    Bm = np.array(args[1])
+    Bm[1, 1] = 0.0
+    args[1] = jnp.asarray(Bm)
     M = np.array(args[3])
-    M[1, 1, 2, 2] = -0.5      # mild indefiniteness at one stage
+    G = np.array(args[2])
+    M[1, 1, 2, 2] = -G[1, 1, 2, 2] - 2e-7
+    M[1, 1, :2, 2] = M[1, 1, 2, :2] = 0.0
+    G[1, 1, :2, 2] = G[1, 1, 2, :2] = 0.0
+    mu_ = np.array(args[5])
+    mu_[1, 1] = 0.0           # qu = 0 too: the rescued k stays bounded
+    args[5] = jnp.asarray(mu_)
+    args[2] = jnp.asarray(G)
     args[3] = jnp.asarray(M)
     ref = jax.vmap(riccati_sweep_ref)(*args)
-    assert not bool(ref[3][1])            # the plain sweep fails it...
+    assert bool(ref[3][0]) and bool(ref[3][1])   # scan rescues it locally
     out = riccati_sweep_pallas(*args, interpret=True)
-    assert bool(out[3][0]) and bool(out[3][1])   # ...the kernel rescues it
-    # healthy problem identical to the reference
-    np.testing.assert_allclose(np.asarray(out[0][0]),
-                               np.asarray(ref[0][0]), atol=2e-5)
-    # rescued problem is finite
+    assert bool(out[3][0]) and bool(out[3][1])   # kernel agrees
+    # both problems identical between the backends (same local bumps)
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(out[0][b]),
+                                   np.asarray(ref[0][b]), atol=2e-5)
     assert np.all(np.isfinite(np.asarray(out[0][1])))
+
+
+def test_local_retry_defers_indefiniteness_to_ladder():
+    """GENUINE indefiniteness (beyond the nudge-scale local bumps) must
+    report ok=False from BOTH backends so the outer global-δ ladder
+    convexifies the whole horizon — a locally-rescued Quu under an
+    indefinite value function yields saddle directions (measured: the
+    cartpole swing-up closed loop collapsed to 2/30 converged re-plans
+    when the top local bump was 1.0)."""
+    args = list(make_data(B=2, H=3, seed=3))
+    M = np.array(args[3])
+    M[1, 1, 2, 2] = -0.5      # real indefiniteness, not noise
+    args[3] = jnp.asarray(M)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    out = riccati_sweep_pallas(*args, interpret=True)
+    assert bool(ref[3][0]) and not bool(ref[3][1])
+    assert bool(out[3][0]) and not bool(out[3][1])
 
 
 def test_fits_predicate():

