@@ -89,11 +89,61 @@ def measure(mpc, B, steps, n_devices=None):
     return (time.perf_counter() - t0) / steps, int(res.converged.sum())
 
 
+def measure_horizon(H, B, steps, n_horizon):
+    """Steady-state warm re-plan seconds/step with the KKT sweep sharded
+    over the HORIZON axis of a (1, n_horizon) mesh (sequence parallelism —
+    SURVEY §5.7), vs None = single-device pscan-free baseline.  Long-H
+    problems only: the sweep is O(H) work with O(log) depth per shard."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pyneuralempc_tpu.parallel.horizon import make_horizon_mesh
+
+    mesh = (None if n_horizon is None
+            else make_horizon_mesh(n_scenario=1, n_horizon=n_horizon))
+    import pyneuralempc_tpu as nempc
+
+    def f_true(x, u):
+        xr = 30.0 * (x + 1.0)
+        ur = 50.0 * u
+        d1 = 0.5 * xr[:, :1] - 0.025 * xr[:, :1] * xr[:, 1:]
+        d2 = -0.5 * xr[:, 1:] + ur + 0.005 * xr[:, :1] * xr[:, 1:]
+        return jnp.concatenate([d1, d2], axis=1) / 30.0
+
+    model = nempc.jax_dynamics(f_true, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
+    box = nempc.DomainConstraint(
+        states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
+        control_constraint=[[0.0, 1.2]])
+    mpc = nempc.NMPC(model, cost, [box], H=H, DT=2.0 / H,
+                     integrator="rk4",
+                     config=nempc.IPConfig(tol=1e-5), mesh=mesh)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.stack([rng.uniform(0.2, 0.8, B),
+                                rng.uniform(-0.9, -0.3, B)], axis=1),
+                      jnp.float32)
+    carry, res = mpc.next_batch(x0s)
+    jax.block_until_ready(carry.w)
+    for _ in range(2):
+        carry, res = mpc.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry, res = mpc.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    return (time.perf_counter() - t0) / steps, int(res.converged.sum())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--devices", type=str, default="1,2,4,8")
+    ap.add_argument("--horizon-axis", action="store_true",
+                    help="also measure horizon (sequence-parallel) "
+                    "sharding across H values")
+    ap.add_argument("--horizons", type=str, default="64,128,256,512")
+    ap.add_argument("--horizon-batch", type=int, default=8)
     args = ap.parse_args()
 
     import jax
