@@ -105,6 +105,195 @@ def _ordered_layers(cfg):
     return list(reversed(chain))
 
 
+_MERGE_LAYERS = ("Add", "Subtract", "Average", "Multiply", "Concatenate")
+_ACT_FNS = None
+
+
+def _act_fn(name):
+    global _ACT_FNS
+    if _ACT_FNS is None:
+        import jax
+        import jax.numpy as jnp
+        _ACT_FNS = {"tanh": jnp.tanh, "relu": jax.nn.relu,
+                    "linear": lambda v: v, "sigmoid": jax.nn.sigmoid,
+                    "gelu": jax.nn.gelu, "swish": jax.nn.swish}
+    if name not in _ACT_FNS:
+        raise ValueError(f"unsupported Keras activation {name!r}")
+    return _ACT_FNS[name]
+
+
+def _graph_meta(cfg):
+    """Functional config -> (topo-sorted layer list, input name, output
+    name).  Each entry: (name, class_name, layer_config, parent names in
+    declaration order).  Used by the branching-graph importer."""
+    layers = (cfg["config"]["layers"] if isinstance(cfg["config"], dict)
+              else cfg["config"])
+    by_name, order = {}, []
+    for l in layers:
+        name = l.get("name") or l["config"]["name"]
+        by_name[name] = l
+        order.append(name)
+
+    def parents(l):
+        found = []
+
+        def walk(node):
+            if isinstance(node, str):
+                if node in by_name:
+                    found.append(node)
+            elif isinstance(node, dict):
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    walk(v)
+
+        walk(l.get("inbound_nodes", []))
+        # dedupe preserving order (a parent can appear once per tensor
+        # metadata entry)
+        seen, out = set(), []
+        for nm in found:
+            if nm not in seen:
+                seen.add(nm)
+                out.append(nm)
+        return out
+
+    inputs = [n for n in order
+              if by_name[n]["class_name"] == "InputLayer"]
+    if len(inputs) != 1:
+        raise ValueError(
+            f"graph import needs exactly one InputLayer (the framework "
+            f"feeds one concat([x, u, tvp, p]) feature block), got "
+            f"{inputs}")
+
+    out_spec = cfg["config"].get("output_layers", [])
+    outs = []
+
+    def names_in(node):
+        if isinstance(node, str) and node in by_name:
+            outs.append(node)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                names_in(v)
+        elif isinstance(node, dict):
+            for v in node.values():
+                names_in(v)
+
+    names_in(out_spec)
+    if len(outs) != 1:
+        raise ValueError(
+            f"graph import needs exactly one output layer, got "
+            f"{outs or out_spec}")
+
+    # topo sort by DFS from the output
+    topo, state = [], {}
+
+    def visit(name):
+        st = state.get(name)
+        if st == 2:
+            return
+        if st == 1:
+            raise ValueError("cycle in functional model graph")
+        state[name] = 1
+        for pn in parents(by_name[name]):
+            visit(pn)
+        state[name] = 2
+        topo.append(name)
+
+    visit(outs[0])
+    meta = [(n, by_name[n]["class_name"], by_name[n].get("config", {}),
+             tuple(parents(by_name[n]))) for n in topo]
+    return meta, inputs[0], outs[0]
+
+
+def _parse_graph(cfg, weights):
+    """Branching Functional graphs (skip connections, merge layers): a
+    small interpreter over the config JSON, supporting
+    InputLayer/Dense/Activation/Dropout + Add/Subtract/Average/Multiply/
+    Concatenate.  The reference executed arbitrary Keras live
+    (``model/tensorflow.py:39-51``); this reproduces the common branching
+    architectures weights-only (VERDICT r2 item 6)."""
+    import jax.numpy as jnp
+
+    meta, in_name, out_name = _graph_meta(cfg)
+    params = {}
+    specs = []
+    for name, cls, lcfg, pars in meta:
+        if cls == "InputLayer":
+            specs.append((name, "input", None, pars))
+        elif cls in _SKIP_LAYERS:
+            if len(pars) != 1:
+                raise ValueError(f"{cls} layer {name!r} must have exactly "
+                                 "one input")
+            specs.append((name, "identity", None, pars))
+        elif cls == "Activation":
+            if len(pars) != 1:
+                raise ValueError(f"Activation {name!r} must have exactly "
+                                 "one input")
+            specs.append((name, "act",
+                          lcfg.get("activation", "linear"), pars))
+            _act_fn(lcfg.get("activation", "linear"))   # validate early
+        elif cls == "Dense":
+            if len(pars) != 1:
+                raise ValueError(f"Dense layer {name!r} must have exactly "
+                                 "one input")
+            grp = _layer_weights(weights, name)
+            params[name] = {"w": jnp.asarray(np.asarray(grp["kernel:0"])),
+                            "b": jnp.asarray(np.asarray(grp["bias:0"]))}
+            a = lcfg.get("activation", "linear")
+            _act_fn(a)
+            specs.append((name, "dense", a, pars))
+        elif cls in _MERGE_LAYERS:
+            if len(pars) < 2:
+                raise ValueError(f"merge layer {name!r} needs >= 2 inputs")
+            axis = lcfg.get("axis", -1) if cls == "Concatenate" else None
+            specs.append((name, cls.lower(), axis, pars))
+        else:
+            raise ValueError(
+                f"unsupported layer {cls!r} in graph import (supported: "
+                f"Dense/Activation/Dropout + {'/'.join(_MERGE_LAYERS)})")
+
+    def apply(prm, feats, cdt):
+        vals = {}
+        for name, kind, extra, pars in specs:
+            if kind == "input":
+                vals[name] = feats
+            elif kind == "identity":
+                vals[name] = vals[pars[0]]
+            elif kind == "act":
+                vals[name] = _act_fn(extra)(vals[pars[0]])
+            elif kind == "dense":
+                z = (jnp.dot(vals[pars[0]].astype(cdt),
+                             prm[name]["w"].astype(cdt),
+                             preferred_element_type=jnp.float32)
+                     + prm[name]["b"])
+                vals[name] = _act_fn(extra)(z)
+            elif kind == "add":
+                v = vals[pars[0]]
+                for pn in pars[1:]:
+                    v = v + vals[pn]
+                vals[name] = v
+            elif kind == "subtract":
+                vals[name] = vals[pars[0]] - vals[pars[1]]
+            elif kind == "average":
+                v = vals[pars[0]]
+                for pn in pars[1:]:
+                    v = v + vals[pn]
+                vals[name] = v / float(len(pars))
+            elif kind == "multiply":
+                v = vals[pars[0]]
+                for pn in pars[1:]:
+                    v = v * vals[pn]
+                vals[name] = v
+            else:   # concatenate
+                vals[name] = jnp.concatenate([vals[pn] for pn in pars],
+                                             axis=extra if extra is not None
+                                             else -1)
+        return vals[out_name]
+
+    return apply, params
+
+
 def _layer_weights(weights, name):
     """Weight group for a layer — tf.keras nests it as
     ``model_weights/<name>/<name>`` but some writers flatten it."""
@@ -168,10 +357,22 @@ def load_keras_h5(path: str, x_dim: int, u_dim: int, p_dim: int = 0,
 
     with h5py.File(path, "r") as f:
         cfg = json.loads(f.attrs["model_config"])
-        params, acts = _parse_dense_stack(cfg, f["model_weights"])
+        try:
+            params, acts = _parse_dense_stack(cfg, f["model_weights"])
+            graph = None
+        except ValueError:
+            # branching Functional graph (skip connections / merge
+            # layers): fall through to the graph interpreter
+            if cfg.get("class_name") not in ("Functional", "Model"):
+                raise
+            graph, params = _parse_graph(cfg, f["model_weights"])
 
-    return _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype,
-                 name=f"keras:{path.rsplit('/', 1)[-1]}", out_dim=out_dim)
+    name = f"keras:{path.rsplit('/', 1)[-1]}"
+    if graph is None:
+        return _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim,
+                     compute_dtype, name=name, out_dim=out_dim)
+    return _wrap_graph(graph, params, x_dim, u_dim, p_dim, tvp_dim,
+                       compute_dtype, name=name, out_dim=out_dim)
 
 
 def load_torch_mlp(state_dict, x_dim: int, u_dim: int, p_dim: int = 0,
@@ -241,6 +442,38 @@ def _wrap(params, acts, x_dim, u_dim, p_dim, tvp_dim, compute_dtype, name,
     return model, params
 
 
+def _wrap_graph(graph_apply, params, x_dim, u_dim, p_dim, tvp_dim,
+                compute_dtype, name, out_dim=None):
+    """Wrap a branching-graph forward into an MLPDynamics (same contract
+    as :func:`_wrap`); dims validated by one abstract evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    dims = Dims(x_dim, u_dim, p_dim, tvp_dim)
+    cdt = compute_dtype if compute_dtype is not None else jnp.float32
+    expected_in = x_dim + u_dim + tvp_dim + p_dim
+    expected_out = x_dim if out_dim is None else out_dim
+    out_shape = jax.eval_shape(
+        lambda prm, z: graph_apply(prm, z, cdt), params,
+        jax.ShapeDtypeStruct((1, expected_in), jnp.float32))
+    if out_shape.shape[-1] != expected_out:
+        raise ValueError(
+            f"graph model output dim {out_shape.shape[-1]} != expected "
+            f"{expected_out}")
+
+    def fn(x, u, p, tvp, prm):
+        feats = [x, u]
+        if tvp is not None and dims.tvp:
+            feats.append(tvp)
+        if p is not None and dims.p:
+            feats.append(jnp.broadcast_to(p, (x.shape[0], dims.p)))
+        return graph_apply(prm, jnp.concatenate(feats, axis=-1), cdt)
+
+    model = MLPDynamics(fn=fn, dims=dims, name=name, hidden=(),
+                        activation="graph", compute_dtype=cdt)
+    return model, params
+
+
 def load_keras_lstm_h5(path: str, x_dim: int, u_dim: int,
                        mode: str = "delta"):
     """Load a tf.keras ``LSTM(units) → Dense(x_dim)`` .h5 into a lifted
@@ -257,51 +490,127 @@ def load_keras_lstm_h5(path: str, x_dim: int, u_dim: int,
     """
     import h5py
     import jax.numpy as jnp
-    from .rnn import LSTMDynamics, lstm_dynamics
+    from .rnn import (LSTMDynamics, lstm_dynamics, stacked_lstm_dynamics)
 
     with h5py.File(path, "r") as f:
         cfg = json.loads(f.attrs["model_config"])
         layers = _ordered_layers(cfg)
         lstm_cfgs = [l for l in layers if l["class_name"] == "LSTM"]
         dense_cfgs = [l for l in layers if l["class_name"] == "Dense"]
-        if len(lstm_cfgs) != 1 or len(dense_cfgs) != 1:
+        if len(lstm_cfgs) < 1 or len(dense_cfgs) != 1:
             raise ValueError(
-                "expected exactly one LSTM and one Dense layer, got "
-                f"{len(lstm_cfgs)} LSTM / {len(dense_cfgs)} Dense")
+                "expected one or more LSTM layers and one Dense layer, "
+                f"got {len(lstm_cfgs)} LSTM / {len(dense_cfgs)} Dense")
         if dense_cfgs[0]["config"].get("activation", "linear") != "linear":
             raise ValueError("LSTM readout Dense must be linear")
         weights = f["model_weights"]
-        lname = lstm_cfgs[0]["config"]["name"]
-        grp = weights[lname]
-        # tf.keras nests LSTM vars one level deeper: <name>/<name>/lstm_cell
-        while "kernel:0" not in grp:
-            subs = [k for k in grp.keys()]
-            if len(subs) != 1:
-                raise ValueError(f"cannot locate LSTM weights under {lname}")
-            grp = grp[subs[0]]
-        wk = np.asarray(grp["kernel:0"])
-        wr = np.asarray(grp["recurrent_kernel:0"])
-        b = np.asarray(grp["bias:0"])
+        cells = [_recurrent_cell_weights(weights,
+                                         l["config"]["name"], "LSTM")
+                 for l in lstm_cfgs]
         dgrp = _layer_weights(weights, dense_cfgs[0]["config"]["name"])
         wo = np.asarray(dgrp["kernel:0"])
         bo = np.asarray(dgrp["bias:0"])
 
-    hidden = wr.shape[0]
-    if wk.shape != (x_dim + u_dim, 4 * hidden):
+    hiddens = [wr.shape[0] for (_, wr, _) in cells]
+    in_dims = [x_dim + u_dim] + hiddens[:-1]
+    for li, ((wk, wr, b), nin, nh) in enumerate(zip(cells, in_dims,
+                                                    hiddens)):
+        if wk.shape != (nin, 4 * nh):
+            raise ValueError(
+                f"LSTM layer {li} kernel shape {wk.shape} != "
+                f"({nin}, {4 * nh}) (layer 0 reads [x, u]; deeper layers "
+                f"read the previous layer's hidden state)")
+    if wo.shape != (hiddens[-1], x_dim) or bo.shape != (x_dim,):
         raise ValueError(
-            f"LSTM kernel shape {wk.shape} != "
-            f"({x_dim + u_dim}, {4 * hidden}) for x+u per-step input")
+            f"readout Dense shape {wo.shape} != ({hiddens[-1]}, {x_dim})")
+
+    if len(cells) == 1:
+        wk, wr, b = cells[0]
+        ld: LSTMDynamics = lstm_dynamics(x_dim=x_dim, u_dim=u_dim,
+                                         hidden=hiddens[0], mode=mode,
+                                         name=f"keras_lstm:{path}")
+        params = {"wk": jnp.asarray(wk), "wr": jnp.asarray(wr),
+                  "b": jnp.asarray(b), "wo": jnp.asarray(wo),
+                  "bo": jnp.asarray(bo)}
+        return ld, params
+    sd = stacked_lstm_dynamics(x_dim=x_dim, u_dim=u_dim, hiddens=hiddens,
+                               mode=mode,
+                               name=f"keras_stacked_lstm:{path}")
+    params = {"layers": [{"wk": jnp.asarray(wk), "wr": jnp.asarray(wr),
+                          "b": jnp.asarray(b)} for wk, wr, b in cells],
+              "wo": jnp.asarray(wo), "bo": jnp.asarray(bo)}
+    return sd, params
+
+
+def _recurrent_cell_weights(weights, lname, kind):
+    """(kernel, recurrent_kernel, bias) for a recurrent layer — tf.keras
+    nests the vars one level deeper: <name>/<name>/{lstm,gru}_cell."""
+    grp = weights[lname]
+    while "kernel:0" not in grp:
+        subs = [k for k in grp.keys()]
+        if len(subs) != 1:
+            raise ValueError(
+                f"cannot locate {kind} weights under {lname}")
+        grp = grp[subs[0]]
+    return (np.asarray(grp["kernel:0"]),
+            np.asarray(grp["recurrent_kernel:0"]),
+            np.asarray(grp["bias:0"]))
+
+
+def load_keras_gru_h5(path: str, x_dim: int, u_dim: int,
+                      mode: str = "delta"):
+    """Load a tf.keras ``GRU(units) → Dense(x_dim)`` .h5 into a lifted
+    GRU dynamics model (+ params) — VERDICT r2 item 6's missing GRU
+    import.  Handles both bias layouts: ``reset_after=True`` (tf.keras
+    default, bias (2, 3u)) and ``reset_after=False`` (bias (3u,)); the
+    cell semantics follow tf.keras exactly
+    (:func:`~pyneuralempc_tpu.models.rnn.keras_gru_step`)."""
+    import h5py
+    import jax.numpy as jnp
+    from .rnn import keras_gru_dynamics
+
+    with h5py.File(path, "r") as f:
+        cfg = json.loads(f.attrs["model_config"])
+        layers = _ordered_layers(cfg)
+        gru_cfgs = [l for l in layers if l["class_name"] == "GRU"]
+        dense_cfgs = [l for l in layers if l["class_name"] == "Dense"]
+        if len(gru_cfgs) != 1 or len(dense_cfgs) != 1:
+            raise ValueError(
+                "expected exactly one GRU and one Dense layer, got "
+                f"{len(gru_cfgs)} GRU / {len(dense_cfgs)} Dense")
+        if dense_cfgs[0]["config"].get("activation", "linear") != "linear":
+            raise ValueError("GRU readout Dense must be linear")
+        wk, wr, b = _recurrent_cell_weights(
+            f["model_weights"], gru_cfgs[0]["config"]["name"], "GRU")
+        dgrp = _layer_weights(f["model_weights"],
+                              dense_cfgs[0]["config"]["name"])
+        wo = np.asarray(dgrp["kernel:0"])
+        bo = np.asarray(dgrp["bias:0"])
+        reset_after = bool(gru_cfgs[0]["config"].get("reset_after",
+                                                     b.ndim == 2))
+
+    hidden = wr.shape[0]
+    if wk.shape != (x_dim + u_dim, 3 * hidden):
+        raise ValueError(
+            f"GRU kernel shape {wk.shape} != "
+            f"({x_dim + u_dim}, {3 * hidden}) for x+u per-step input")
+    if reset_after and b.shape != (2, 3 * hidden):
+        raise ValueError(
+            f"reset_after GRU bias shape {b.shape} != (2, {3 * hidden})")
+    if not reset_after and b.shape != (3 * hidden,):
+        raise ValueError(
+            f"GRU bias shape {b.shape} != ({3 * hidden},)")
     if wo.shape != (hidden, x_dim) or bo.shape != (x_dim,):
         raise ValueError(
             f"readout Dense shape {wo.shape} != ({hidden}, {x_dim})")
 
-    ld: LSTMDynamics = lstm_dynamics(x_dim=x_dim, u_dim=u_dim,
-                                     hidden=hidden, mode=mode,
-                                     name=f"keras_lstm:{path}")
+    gd = keras_gru_dynamics(x_dim=x_dim, u_dim=u_dim, hidden=hidden,
+                            mode=mode, reset_after=reset_after,
+                            name=f"keras_gru:{path}")
     params = {"wk": jnp.asarray(wk), "wr": jnp.asarray(wr),
               "b": jnp.asarray(b), "wo": jnp.asarray(wo),
               "bo": jnp.asarray(bo)}
-    return ld, params
+    return gd, params
 
 
 def load_keras_h5_rolling(path: str, x_dim: int, u_dim: int, window: int,

@@ -255,3 +255,132 @@ def fit_gru_on_sequences(gd: GRUDynamics, X_seqs, U_seqs, steps: int = 2000,
     (params, _), losses = jax.lax.scan(train_step, (params, opt_state),
                                        None, length=steps)
     return params, float(losses[-1])
+
+# ---- Keras-compatible GRU cell (for artifact import) ----
+
+
+def keras_gru_step(params, h, inp, reset_after: bool = True):
+    """One GRU update with tf.keras semantics/weight layout: ``wk``
+    (in, 3u), ``wr`` (u, 3u), gate order [z, r, h], bias (2, 3u) when
+    ``reset_after`` (the tf.keras default — the reset gate multiplies the
+    *post-matmul* recurrent term) else (3u,).  h_new = z·h + (1−z)·h̃
+    (note: Keras keeps the OLD state through z, opposite of
+    :func:`gru_step`'s convention)."""
+    nh = h.shape[-1]
+    dot = lambda a, w: jnp.dot(a, w, preferred_element_type=jnp.float32)
+    gx = dot(inp, params["wk"])
+    gh = dot(h, params["wr"])
+    b = params["b"]
+    if reset_after:
+        bx, bh = b[0], b[1]
+    else:
+        bx, bh = b, jnp.zeros_like(b)
+    z = jax.nn.sigmoid(gx[..., :nh] + gh[..., :nh] + bx[..., :nh]
+                       + bh[..., :nh])
+    r = jax.nn.sigmoid(gx[..., nh:2 * nh] + gh[..., nh:2 * nh]
+                       + bx[..., nh:2 * nh] + bh[..., nh:2 * nh])
+    if reset_after:
+        hh = jnp.tanh(gx[..., 2 * nh:] + bx[..., 2 * nh:]
+                      + r * (gh[..., 2 * nh:] + bh[..., 2 * nh:]))
+    else:
+        hh = jnp.tanh(gx[..., 2 * nh:] + bx[..., 2 * nh:]
+                      + dot(r * h, params["wr"][:, 2 * nh:]))
+    return z * h + (1.0 - z) * hh
+
+
+def keras_gru_dynamics(x_dim: int, u_dim: int, hidden: int,
+                       mode: str = "delta", reset_after: bool = True,
+                       p_dim: int = 0, tvp_dim: int = 0,
+                       name: str = "keras_gru") -> GRUDynamics:
+    """Lifted GRU dynamics with the KERAS cell (z = [x, h]) — the import
+    target of :func:`~pyneuralempc_tpu.models.importers.load_keras_gru_h5`.
+    params: {"wk", "wr", "b", "wo", "bo"} in Keras layout."""
+    if mode not in ("delta", "direct"):
+        raise ValueError(f"unknown readout mode {mode!r}")
+    nz = x_dim + hidden
+
+    def fn(z, u, p, tvp, params):
+        x, h = z[:, :x_dim], z[:, x_dim:]
+        inp = jnp.concatenate([x, u], axis=-1)
+        h_new = keras_gru_step(params, h, inp, reset_after=reset_after)
+        out = jnp.dot(h_new, params["wo"],
+                      preferred_element_type=jnp.float32) + params["bo"]
+        x_next = x + out if mode == "delta" else out
+        return jnp.concatenate([x_next, h_new], axis=-1)
+
+    lifted = DynamicsModel(fn=fn, dims=Dims(nz, u_dim, p_dim, tvp_dim),
+                           name=name)
+    return GRUDynamics(model=lifted, x_dim=x_dim, u_dim=u_dim,
+                       hidden=hidden)
+
+
+# ---- stacked LSTM (multi-layer recurrent import) ----
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedLSTMDynamics:
+    """Lifted multi-layer LSTM: z = [x, h₁, c₁, …, h_L, c_L].  Layer ℓ's
+    per-step input is layer ℓ−1's new hidden state (layer 1 reads
+    [x, u]), exactly tf.keras ``Sequential([LSTM, …, LSTM, Dense])`` with
+    ``return_sequences=True`` between layers.  All carries join the MPC
+    state, so stage sparsity and every KKT backend are preserved
+    (the reference's rolling-window projections could not express this —
+    ``model/tensorflow.py:131-340``)."""
+
+    model: DynamicsModel
+    x_dim: int
+    u_dim: int
+    hiddens: Tuple[int, ...]
+    mode: str = "delta"
+
+    def lift(self, x0, carries=None) -> jnp.ndarray:
+        if carries is None:
+            carries = jnp.zeros((2 * sum(self.hiddens),))
+        return jnp.concatenate([jnp.asarray(x0), jnp.asarray(carries)])
+
+    def head(self, Z) -> jnp.ndarray:
+        return Z[..., : self.x_dim]
+
+    def box(self, states_constraint, control_constraint,
+            hidden_bound: float = 10.0) -> Box:
+        hb = [[-hidden_bound, hidden_bound]] * (2 * sum(self.hiddens))
+        return Box.make(list(states_constraint) + hb, control_constraint)
+
+    def head_objective(self, fn: Callable) -> Callable:
+        def wrapped(Z, u, p=None, tvp=None):
+            return _call_user_fn(fn, self.head(Z), u, p, tvp)
+        return wrapped
+
+
+def stacked_lstm_dynamics(x_dim: int, u_dim: int, hiddens,
+                          mode: str = "delta", p_dim: int = 0,
+                          tvp_dim: int = 0,
+                          name: str = "stacked_lstm") -> StackedLSTMDynamics:
+    """Build a lifted stacked-LSTM dynamics model.  params:
+    {"layers": [{"wk","wr","b"}, …], "wo", "bo"} (Keras layouts)."""
+    if mode not in ("delta", "direct"):
+        raise ValueError(f"unknown readout mode {mode!r}")
+    hiddens = tuple(int(h) for h in hiddens)
+    nz = x_dim + 2 * sum(hiddens)
+
+    def fn(z, u, p, tvp, params):
+        x = z[:, :x_dim]
+        off = x_dim
+        inp = jnp.concatenate([x, u], axis=-1)
+        new_carries = []
+        for lp, nh in zip(params["layers"], hiddens):
+            h = z[:, off: off + nh]
+            c = z[:, off + nh: off + 2 * nh]
+            off += 2 * nh
+            h_new, c_new = lstm_step(lp, h, c, inp)
+            new_carries.extend([h_new, c_new])
+            inp = h_new
+        out = jnp.dot(inp, params["wo"],
+                      preferred_element_type=jnp.float32) + params["bo"]
+        x_next = x + out if mode == "delta" else out
+        return jnp.concatenate([x_next] + new_carries, axis=-1)
+
+    lifted = DynamicsModel(fn=fn, dims=Dims(nz, u_dim, p_dim, tvp_dim),
+                           name=name)
+    return StackedLSTMDynamics(model=lifted, x_dim=x_dim, u_dim=u_dim,
+                               hiddens=hiddens, mode=mode)

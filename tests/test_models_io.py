@@ -231,11 +231,15 @@ def test_keras_functional_import_matches_manual(tmp_path):
     np.testing.assert_allclose(np.asarray(out), h, rtol=1e-5, atol=1e-6)
 
 
-def test_keras_functional_rejects_branching(tmp_path):
+def test_keras_functional_rejects_invalid_branching(tmp_path):
+    """A branching graph WITHOUT a merge layer (a Dense fed two tensors)
+    is structurally invalid — the graph interpreter (which now handles
+    legitimate branching via Add/Concatenate/... merges) must reject it
+    with a clear error rather than guessing."""
     path = str(tmp_path / "branchnet.h5")
     _write_fake_functional_h5(path, (3, 8, 2), ("tanh", "linear"),
                               branch=True)
-    with pytest.raises(ValueError, match="multiple inputs"):
+    with pytest.raises(ValueError, match="exactly one input"):
         load_keras_h5(path, x_dim=2, u_dim=1)
 
 
@@ -341,3 +345,224 @@ def test_lstm_mpc_end_to_end():
     res = mpc.next(ld.lift(jnp.asarray([0.0])), params=params)
     assert bool(res.converged)
     assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+# ---- branching functional graphs (graph-interpreter import) ----
+
+def _write_branching_h5(path):
+    """input(3) -> d1=Dense(8,tanh) -> d2=Dense(3,linear) -> Add([input,d2])
+    -> Concatenate([add, d1]) -> out=Dense(2,linear): a skip connection
+    plus both merge ops, in legacy inbound_nodes format."""
+    import h5py
+    import json
+    rng = np.random.default_rng(11)
+    node = lambda *ps: [[[p, 0, 0, {}] for p in ps]]
+    layers = [
+        {"class_name": "InputLayer", "name": "input_1",
+         "config": {"name": "input_1"}, "inbound_nodes": []},
+        {"class_name": "Dense", "name": "d1",
+         "config": {"name": "d1", "activation": "tanh"},
+         "inbound_nodes": node("input_1")},
+        {"class_name": "Dense", "name": "d2",
+         "config": {"name": "d2", "activation": "linear"},
+         "inbound_nodes": node("d1")},
+        {"class_name": "Add", "name": "add",
+         "config": {"name": "add"}, "inbound_nodes": node("input_1", "d2")},
+        {"class_name": "Concatenate", "name": "cat",
+         "config": {"name": "cat", "axis": -1},
+         "inbound_nodes": node("add", "d1")},
+        {"class_name": "Dense", "name": "out",
+         "config": {"name": "out", "activation": "linear"},
+         "inbound_nodes": node("cat")},
+    ]
+    cfg = {"class_name": "Functional",
+           "config": {"name": "model", "layers": layers,
+                      "input_layers": [["input_1", 0, 0]],
+                      "output_layers": [["out", 0, 0]]}}
+    W = {"d1": (3, 8), "d2": (8, 3), "out": (11, 2)}
+    ws = {}
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        for name, (fi, fo) in W.items():
+            g = w.create_group(name).create_group(name)
+            k = rng.normal(0, 0.4, (fi, fo)).astype("f4")
+            b = rng.normal(0, 0.1, fo).astype("f4")
+            g.create_dataset("kernel:0", data=k)
+            g.create_dataset("bias:0", data=b)
+            ws[name] = (k, b)
+    return ws
+
+
+def test_keras_branching_graph_import_matches_manual(tmp_path):
+    """Skip-connection net (Add + Concatenate merges) imports through the
+    graph interpreter and matches a manual numpy forward to 1e-6
+    (VERDICT r2 item 6)."""
+    path = str(tmp_path / "skipnet.h5")
+    ws = _write_branching_h5(path)
+    model, params = load_keras_h5(path, x_dim=2, u_dim=1)
+    x = np.array([[0.3, -0.2], [0.1, 0.4]], np.float32)
+    u = np.array([[0.1], [-0.3]], np.float32)
+    inp = np.concatenate([x, u], axis=1)
+    d1 = np.tanh(inp @ ws["d1"][0] + ws["d1"][1])
+    d2 = d1 @ ws["d2"][0] + ws["d2"][1]
+    add = inp + d2
+    cat = np.concatenate([add, d1], axis=1)
+    ref = cat @ ws["out"][0] + ws["out"][1]
+    out = model(jnp.asarray(x), jnp.asarray(u), params=params)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_keras_branching_graph_in_mpc(tmp_path):
+    """The graph-imported model drops into NMPC like any dynamics."""
+    import pyneuralempc_tpu as nempc
+    path = str(tmp_path / "skipnet2.h5")
+    _write_branching_h5(path)
+    model, params = load_keras_h5(path, x_dim=2, u_dim=1)
+    box = nempc.DomainConstraint(states_constraint=[[-3.0, 3.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, lambda x, u: jnp.sum(u ** 2)
+                     + jnp.sum(x ** 2), [box], H=5, DT=0.1,
+                     integrator="delta")
+    res = mpc.next(jnp.array([0.2, -0.1]), params=params)
+    assert res.u.shape == (5, 1)
+    assert bool(res.feasible)
+
+
+# ---- stacked LSTM import ----
+
+def _write_stacked_lstm_h5(path, in_dim, units, out_dim):
+    import h5py
+    import json
+    rng = np.random.default_rng(5)
+    layer_cfgs = []
+    tensors = {}
+    prev_dim = in_dim
+    for li, u_ in enumerate(units):
+        name = "lstm" if li == 0 else f"lstm_{li}"
+        layer_cfgs.append({"class_name": "LSTM",
+                           "config": {"name": name, "units": u_}})
+        tensors[name] = (
+            rng.normal(0, 0.4, (prev_dim, 4 * u_)).astype("f4"),
+            rng.normal(0, 0.4, (u_, 4 * u_)).astype("f4"),
+            rng.normal(0, 0.1, 4 * u_).astype("f4"))
+        prev_dim = u_
+    layer_cfgs.append({"class_name": "Dense",
+                       "config": {"name": "dense",
+                                  "activation": "linear"}})
+    wo = rng.normal(0, 0.4, (prev_dim, out_dim)).astype("f4")
+    bo = rng.normal(0, 0.1, out_dim).astype("f4")
+    cfg = {"class_name": "Sequential", "config": {"layers": layer_cfgs}}
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        for name, (wk, wr, b) in tensors.items():
+            cell = (w.create_group(name).create_group(name)
+                    .create_group("lstm_cell"))
+            cell.create_dataset("kernel:0", data=wk)
+            cell.create_dataset("recurrent_kernel:0", data=wr)
+            cell.create_dataset("bias:0", data=b)
+        g = w.create_group("dense").create_group("dense")
+        g.create_dataset("kernel:0", data=wo)
+        g.create_dataset("bias:0", data=bo)
+    return tensors, wo, bo
+
+
+def test_keras_stacked_lstm_import_matches_numpy(tmp_path):
+    """2-layer LSTM .h5 -> lifted stacked carries; closed-form numpy
+    rollout agreement to 1e-6 (VERDICT r2 item 6)."""
+    from pyneuralempc_tpu.models.importers import load_keras_lstm_h5
+    path = str(tmp_path / "stack.h5")
+    x_dim, u_dim, units = 2, 1, (5, 4)
+    tensors, wo, bo = _write_stacked_lstm_h5(path, x_dim + u_dim, units,
+                                             x_dim)
+    sd, params = load_keras_lstm_h5(path, x_dim=x_dim, u_dim=u_dim,
+                                    mode="delta")
+    assert sd.hiddens == units
+
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+
+    def np_cell(wk, wr, b, h, c, inp):
+        u_ = wr.shape[0]
+        gates = inp @ wk + h @ wr + b
+        i = sig(gates[:u_])
+        f = sig(gates[u_:2 * u_])
+        g = np.tanh(gates[2 * u_:3 * u_])
+        o = sig(gates[3 * u_:])
+        c = f * c + i * g
+        return o * np.tanh(c), c
+
+    rng = np.random.default_rng(0)
+    x = np.array([0.2, -0.1])
+    us = rng.normal(0, 0.3, (4, u_dim)).astype("f4")
+    hs = [np.zeros(u_) for u_ in units]
+    cs = [np.zeros(u_) for u_ in units]
+    z = sd.lift(jnp.asarray(x, jnp.float32))
+    for t in range(4):
+        inp = np.concatenate([x, us[t]])
+        for li, name in enumerate(["lstm", "lstm_1"]):
+            wk, wr, b = tensors[name]
+            hs[li], cs[li] = np_cell(wk, wr, b, hs[li], cs[li], inp)
+            inp = hs[li]
+        x = x + inp @ wo + bo
+        z = sd.model(z[None], jnp.asarray(us[t][None], jnp.float32),
+                     params=params)[0]
+        np.testing.assert_allclose(np.asarray(sd.head(z)), x,
+                                   rtol=1e-5, atol=1e-6)
+
+
+# ---- GRU import ----
+
+def test_keras_gru_import_matches_numpy(tmp_path):
+    """GRU(reset_after=True, the tf.keras default) .h5 import matches a
+    numpy rollout with exact Keras gate semantics (VERDICT r2 item 6)."""
+    import h5py
+    import json
+    from pyneuralempc_tpu.models.importers import load_keras_gru_h5
+    path = str(tmp_path / "gru.h5")
+    x_dim, u_dim, units = 2, 1, 5
+    rng = np.random.default_rng(7)
+    wk = rng.normal(0, 0.4, (x_dim + u_dim, 3 * units)).astype("f4")
+    wr = rng.normal(0, 0.4, (units, 3 * units)).astype("f4")
+    b = rng.normal(0, 0.1, (2, 3 * units)).astype("f4")
+    wo = rng.normal(0, 0.4, (units, x_dim)).astype("f4")
+    bo = rng.normal(0, 0.1, x_dim).astype("f4")
+    cfg = {"class_name": "Sequential", "config": {"layers": [
+        {"class_name": "GRU", "config": {"name": "gru", "units": units,
+                                         "reset_after": True}},
+        {"class_name": "Dense",
+         "config": {"name": "dense", "activation": "linear"}}]}}
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(cfg)
+        w = f.create_group("model_weights")
+        cell = (w.create_group("gru").create_group("gru")
+                .create_group("gru_cell"))
+        cell.create_dataset("kernel:0", data=wk)
+        cell.create_dataset("recurrent_kernel:0", data=wr)
+        cell.create_dataset("bias:0", data=b)
+        g = w.create_group("dense").create_group("dense")
+        g.create_dataset("kernel:0", data=wo)
+        g.create_dataset("bias:0", data=bo)
+
+    gd, params = load_keras_gru_h5(path, x_dim=x_dim, u_dim=u_dim,
+                                   mode="delta")
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    x = np.array([0.2, -0.1])
+    h = np.zeros(units)
+    us = rng.normal(0, 0.3, (4, u_dim)).astype("f4")
+    z = gd.lift(jnp.asarray(x, jnp.float32))
+    for t in range(4):
+        inp = np.concatenate([x, us[t]])
+        gx = inp @ wk
+        gh = h @ wr
+        zt = sig(gx[:units] + gh[:units] + b[0, :units] + b[1, :units])
+        rt = sig(gx[units:2 * units] + gh[units:2 * units]
+                 + b[0, units:2 * units] + b[1, units:2 * units])
+        hh = np.tanh(gx[2 * units:] + b[0, 2 * units:]
+                     + rt * (gh[2 * units:] + b[1, 2 * units:]))
+        h = zt * h + (1.0 - zt) * hh
+        x = x + h @ wo + bo
+        z = gd.model(z[None], jnp.asarray(us[t][None], jnp.float32),
+                     params=params)[0]
+        np.testing.assert_allclose(np.asarray(gd.head(z)), x,
+                                   rtol=1e-5, atol=1e-6)
