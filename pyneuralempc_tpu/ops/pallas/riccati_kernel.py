@@ -506,8 +506,16 @@ def _riccati_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c,
 
     H, nx = args[6].shape[1], args[6].shape[2]
     nu = args[1].shape[3]
-    use_pallas = (_HAS_PALLAS and _kernel_fits(H, nx, nu)
-                  and jax.default_backend() == "tpu"
+    # dispatch needs the actual execution device, not just the backend:
+    # under jax.default_device(cpu) on a TPU host (e.g. the bench's CPU
+    # accuracy audit) default_backend() still says "tpu" but the trace
+    # runs on CPU, where the compiled kernel cannot lower
+    dev = jax.config.jax_default_device
+    dev_platform = (dev if isinstance(dev, str)
+                    else getattr(dev, "platform", None))
+    on_tpu = (jax.default_backend() == "tpu"
+              and dev_platform in (None, "tpu"))
+    use_pallas = (_HAS_PALLAS and _kernel_fits(H, nx, nu) and on_tpu
                   and os.environ.get("NEMPC_DISABLE_PALLAS") != "1")
     if use_pallas:
         out = riccati_sweep_pallas(*args, delta_b)
