@@ -140,6 +140,7 @@ def main():
         nlp = mpc.nlp
         worst, worst_obj, worst_hw, n_ok = 0.0, -float("inf"), 0.0, 0
         scatter, worst_idx = 0.0, -1
+        dus = []
         audit_t0 = time.perf_counter()
         cpu = jax.devices("cpu")[0]
         np_params = jax.tree_util.tree_map(np.asarray, params)
@@ -237,6 +238,7 @@ def main():
                 n_ok += 1
                 u_gold = w_gold[2 * H: 3 * H]
                 du_i = float(np.max(np.abs(u_ours_all[i] - u_gold)))
+                dus.append(du_i)
                 if du_i > worst:
                     worst, worst_idx = du_i, i
                 # signed: ours - golden.  Positive = golden found a
@@ -248,24 +250,31 @@ def main():
                 worst_hw = max(worst_hw, float(np.max(np.abs(
                     np.asarray(res.u[i]).ravel() - u_ours_all[i]))))
             # u-determinacy of the worst problem: the golden's own
-            # scatter under a tiny start jitter.  The f32 NLP's flat
+            # scatter under tiny start jitters.  The f32 NLP's flat
             # feed arcs carry MLP-eval noise ripples; below the scatter
             # scale "the optimum" is not a well-defined point and any
-            # solver's u wanders at that level.
+            # solver's u wanders at that level.  Three independent
+            # jitter draws: one draw measures one random direction of a
+            # ~20-dimensional flat valley and badly under-estimates its
+            # width (a single-draw estimate once read 1.7e-4 on an arc
+            # whose solvers scatter ~3e-4).
             if worst_idx >= 0:
-                w_j = np.asarray(colds[worst_idx], np.float64)
-                rj = np.random.default_rng(7)
-                w_j[2 * H: 3 * H] += rj.uniform(-1e-3, 1e-3, H)
-                out_j = golden_for(worst_idx, w_j)
                 out_0 = golden_for(worst_idx,
                                    np.asarray(colds[worst_idx],
                                               np.float64))
-                if out_j is not None and out_0 is not None:
-                    scatter = float(np.max(np.abs(
-                        out_j[0][2 * H: 3 * H]
-                        - out_0[0][2 * H: 3 * H])))
-                    log(f"  golden self-scatter on worst problem "
-                        f"(jittered start): {scatter:.2e}")
+                for seed in (7, 8, 9):
+                    if time.perf_counter() - audit_t0 > 300.0:
+                        break
+                    w_j = np.asarray(colds[worst_idx], np.float64)
+                    rj = np.random.default_rng(seed)
+                    w_j[2 * H: 3 * H] += rj.uniform(-1e-3, 1e-3, H)
+                    out_j = golden_for(worst_idx, w_j)
+                    if out_j is not None and out_0 is not None:
+                        scatter = max(scatter, float(np.max(np.abs(
+                            out_j[0][2 * H: 3 * H]
+                            - out_0[0][2 * H: 3 * H]))))
+                log(f"  golden self-scatter on worst problem "
+                    f"(3 jittered starts): {scatter:.2e}")
         if n_ok:
             log(f"accuracy audit vs oracle-refined SLSQP goldens (same "
                 f"f32 NLP, same CPU arithmetic, f64 active-set Newton "
@@ -274,6 +283,10 @@ def main():
                 f"after a cold-start SLSQP stall), max |u - u_gold| = "
                 f"{worst:.2e}, worst objective excess (ours-golden) = "
                 f"{worst_obj:.2e}")
+            log(f"  per-golden |u - u_gold|: median "
+                f"{float(np.median(dus)):.2e}, "
+                f"p90 {float(np.percentile(dus, 90)):.2e}; all: "
+                + " ".join(f"{d:.1e}" for d in sorted(dus)))
             log(f"bench-backend ({jax.default_backend()}) vs audit-CPU "
                 f"solve delta: max |u_dev - u_cpu| = {worst_hw:.2e} "
                 f"(identical f32 NLP, different rounding/fusion per "
