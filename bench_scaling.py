@@ -167,6 +167,29 @@ def main():
         log(f"sharded n={n:2d}   : {t_n*1e3:8.1f} ms/step  "
             f"{B/t_n:10.0f} solves/s  eff={eff:.3f}  conv {conv}/{B}")
 
+    hrows = {}
+    if args.horizon_axis:
+        # Horizon (sequence-parallel) axis: same problem, same batch,
+        # KKT sweep sharded over n_horizon devices of a (1, n) mesh.
+        # On one host the virtual devices TIMESHARE the cores, so
+        # eff < 1 here measures partitioning overhead (boundary
+        # all_gathers + per-shard fixed costs), not parallel speedup —
+        # the TPU-side scan-vs-pscan crossover is measured separately by
+        # tools/bench_horizon_tpu.py on the real chip.
+        Bh = args.horizon_batch
+        for Hh in [int(s) for s in args.horizons.split(",")]:
+            t_one, conv1 = measure_horizon(Hh, Bh, args.steps, None)
+            log(f"H={Hh:4d} single  : {t_one*1e3:8.1f} ms/step  "
+                f"conv {conv1}/{Bh}")
+            hrows[Hh] = {"single_ms": round(t_one * 1e3, 1)}
+            for nh in (2, 4):
+                t_nh, convn = measure_horizon(Hh, Bh, args.steps, nh)
+                eff = t_one / t_nh
+                hrows[Hh][f"sharded{nh}_ms"] = round(t_nh * 1e3, 1)
+                hrows[Hh][f"eff{nh}"] = round(eff, 3)
+                log(f"H={Hh:4d} n_h={nh:2d}  : {t_nh*1e3:8.1f} ms/step  "
+                    f"eff={eff:.3f}  conv {convn}/{Bh}")
+
     # Headline = 2-way sharding (the north-star clause is ">=80% at
     # 2 hosts"); the full table rides in `detail`.  Note: n virtual
     # devices > physical cores under-reports efficiency (they timeshare
@@ -174,13 +197,16 @@ def main():
     # chips each shard has its own compute.
     n_head = 2 if 2 in rows else ns[0]
     eff2 = rows[n_head]["efficiency_vs_unsharded"]
-    print(json.dumps({
+    out = {
         "metric": "scenario_sharding_efficiency_2way_fixed_batch",
         "value": eff2,
         "unit": "ratio (t_unsharded / t_sharded_2way)",
         "vs_baseline": round(eff2 / 0.8, 3),
         "detail": rows,
-    }))
+    }
+    if hrows:
+        out["horizon_axis"] = hrows
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -478,6 +478,512 @@ def riccati_sweep_pallas(A, B_, G, M, mx, mu_, c, delta, interpret=False):
     return dX[:B], dU[:B], dLam[:B], ok[:B]
 
 
+# ---- general sweep (multi-rhs + stage-EQ Schur) kernels ----
+#
+# The structured-KKT general path (solve/riccati.py:riccati_sweep_general —
+# stage equality rows solved by a Schur complement on chol(Quu), and a
+# leading rhs axis R = 1 + #border-rows for the trajectory-constraint
+# border) previously ran ONLY as an XLA scan.  That is the same scan shape
+# that FAULTS the TPU compiler at fleet batch sizes on the plain path
+# (fleet_tpu6_noker.log), so an EQ- or border-constrained fleet had no safe
+# fast path.  These kernels extend the streamed design above: the
+# factorisation (Quu chol, gains K, value Hessian P, EQ Schur S = E·Quu⁻¹Eᵀ
+# + δ_c) is computed once per stage, every rhs rides the same factors, and
+# the per-lane local-δ retry applies to BOTH Cholesky factorisations with
+# the shared _LOCAL_DELTAS semantics.
+
+
+def _kernel_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
+    """Streamed per-stage VMEM footprint for the general sweep.  The rhs
+    axis R multiplies every linear-term tile; EQ rows r add the E/F/Jx
+    blocks and the Knu/knu gain streams."""
+    ns = nx + nu
+    bwd_in = (nx * nx + nx * nu + 2 * ns * ns + R * (2 * nx + nu + r)
+              + r * (nx + nu))
+    bwd_out = (nu * nx + R * nu + nx * nx + R * nx + nx * nu
+               + r * nx + R * r + 1)
+    bwd_scr = nx * nx + R * nx + 1
+    fwd_in = (nx * nx + nx * nu + R * nx + nu * nx + R * nu + nx * nx
+              + R * nx + nx * nu + 2 * r * nx + R * r)
+    fwd_out = R * (2 * nx + nu + r)
+    fwd_scr = R * nx
+    tiles = max(2 * (bwd_in + bwd_out) + bwd_scr,
+                2 * (fwd_in + fwd_out) + fwd_scr) + 4
+    # same nu cap as the plain kernel (chol unroll is O(nu³) straight-line
+    # per retry level); r <= nu is the eligibility contract; R capped to
+    # keep the per-stage statement count (O((nx+R+r)·nu²) substitutions
+    # per retry level, R·nx² rhs propagation) compile-time sane
+    return (nu <= 8 and r <= nu and R <= 33
+            and tiles * 4096 < _VMEM_BUDGET)
+
+
+def _pick_chunk_general(H: int, nx: int, nu: int, R: int, r: int) -> int:
+    ns = nx + nu
+    per_stage = (nx * nx + nx * nu + 2 * ns * ns + R * (2 * nx + nu + r)
+                 + r * (nx + nu)                                 # inputs
+                 + nu * nx + R * nu + nx * nx + R * nx + nx * nu
+                 + r * nx + R * r)                               # outputs
+    budget_tiles = _VMEM_BUDGET // 4096 - 2 * (nx * nx + R * nx + 1) - 8
+    ch_max = max(1, budget_tiles // (2 * per_stage))
+    ch = min(H, ch_max)
+    while H % ch:
+        ch -= 1
+    return ch
+
+
+def _bwd_general_body(CH, nx, nu, R, r, n_chunks, refs):
+    """One chunk (CH stages, newest→oldest) of the general backward sweep.
+
+    ``refs`` is the positional ref list; EQ blocks (h, E, F in; Knu, knu
+    out) are present only when r > 0.  Carry scratch: value Hessian P
+    (nx² tiles, rhs-independent), per-rhs linear term p (R·nx tiles)."""
+    it = iter(refs)
+    A_ref, B_ref, G_ref, M_ref = next(it), next(it), next(it), next(it)
+    mx_ref, mu_ref, c_ref = next(it), next(it), next(it)
+    if r > 0:
+        h_ref, E_ref, F_ref = next(it), next(it), next(it)
+    delta_ref, dc_ref = next(it), next(it)
+    K_ref, k_ref, Pb_ref, pb_ref, Mxu_ref = (next(it), next(it), next(it),
+                                             next(it), next(it))
+    if r > 0:
+        Knu_ref, knu_ref = next(it), next(it)
+    ok_ref, P_scr, p_scr, ok_scr = next(it), next(it), next(it), next(it)
+
+    t = pl.program_id(1) if n_chunks > 1 else jnp.asarray(0, jnp.int32)
+
+    @pl.when(t == 0)
+    def _():
+        P_scr[...] = jnp.zeros_like(P_scr)
+        p_scr[...] = jnp.zeros_like(p_scr)
+        ok_scr[...] = jnp.ones_like(ok_scr)
+
+    ns = nx + nu
+    delta = delta_ref[0, 0]
+    dc = dc_ref[0, 0]
+    zero = jnp.zeros_like(delta)
+
+    P = [[P_scr[i * nx + j] for j in range(nx)] for i in range(nx)]
+    p = [[p_scr[ri * nx + i] for i in range(nx)] for ri in range(R)]
+
+    for lt in range(CH - 1, -1, -1):
+
+        def a_(i, j, _o=lt * nx * nx):
+            return A_ref[_o + i * nx + j, 0]
+
+        def b_(i, al, _o=lt * nx * nu):
+            return B_ref[_o + i * nu + al, 0]
+
+        def g_(i, j, _o=lt * ns * ns):
+            return G_ref[_o + i * ns + j, 0]
+
+        def m_(i, j, _o=lt * ns * ns):
+            return M_ref[_o + i * ns + j, 0]
+
+        def c_(ri, i, _o=lt * R * nx):
+            return c_ref[_o + ri * nx + i, 0]
+
+        Pbar = [[P[i][j] + m_(i, j) + (delta if i == j else zero)
+                 for j in range(nx)] for i in range(nx)]
+        pbar = [[p[ri][i] + mx_ref[lt * R * nx + ri * nx + i, 0]
+                 for i in range(nx)] for ri in range(R)]
+        Mxu = [[m_(i, nx + al) for al in range(nu)] for i in range(nx)]
+
+        PA = [[sum(Pbar[i][q] * a_(q, j) for q in range(nx))
+               for j in range(nx)] for i in range(nx)]
+        PB = [[sum(Pbar[i][q] * b_(q, al) for q in range(nx))
+               for al in range(nu)] for i in range(nx)]
+        Qxx = [[sum(a_(q, i) * PA[q][j] for q in range(nx)) + g_(i, j)
+                for j in range(nx)] for i in range(nx)]
+        BtMxu = [[sum(b_(q, al) * Mxu[q][be] for q in range(nx))
+                  for be in range(nu)] for al in range(nu)]
+        Quu = [[sum(b_(q, al) * PB[q][be] for q in range(nx))
+                + m_(nx + al, nx + be)
+                + (delta if al == be else zero)
+                + BtMxu[al][be] + BtMxu[be][al]
+                + g_(nx + al, nx + be)
+                for be in range(nu)] for al in range(nu)]
+        Qux = [[sum(b_(q, al) * PA[q][j] for q in range(nx))
+                + sum(Mxu[q][al] * a_(q, j) for q in range(nx))
+                + g_(nx + al, j) for j in range(nx)]
+               for al in range(nu)]
+        Pc_p = [[sum(Pbar[i][q] * c_(ri, q) for q in range(nx))
+                 + pbar[ri][i] for i in range(nx)] for ri in range(R)]
+        qx = [[sum(a_(q, i) * Pc_p[ri][q] for q in range(nx))
+               for i in range(nx)] for ri in range(R)]
+        qu = [[sum(b_(q, al) * Pc_p[ri][q] for q in range(nx))
+               + sum(Mxu[q][al] * c_(ri, q) for q in range(nx))
+               + mu_ref[lt * R * nu + ri * nu + al, 0]
+               for al in range(nu)] for ri in range(R)]
+
+        if r > 0:
+            def e_(j, al, _o=lt * r * nu):
+                return E_ref[_o + j * nu + al, 0]
+
+            def f_(j, i, _o=lt * r * nx):
+                return F_ref[_o + j * nx + i, 0]
+
+            def h_(ri, j, _o=lt * R * r):
+                return h_ref[_o + ri * r + j, 0]
+
+        # one factorisation, nx + R + r right-hand sides
+        rhss = [[Qux[al][j] for al in range(nu)] for j in range(nx)]
+        rhss += [[qu[ri][al] for al in range(nu)] for ri in range(R)]
+        if r > 0:
+            rhss += [[e_(j, al) for al in range(nu)] for j in range(r)]
+        sols, okm = _chol_solve_retry(Quu, rhss, zero)
+        ok_t = okm
+        du0K = [[-sols[j][al] for j in range(nx)] for al in range(nu)]
+        du0k = [[-sols[nx + ri][al] for al in range(nu)] for ri in range(R)]
+
+        if r > 0:
+            Y = [[sols[nx + R + j][al] for j in range(r)]
+                 for al in range(nu)]
+            S = [[sum(e_(i, al) * Y[al][j] for al in range(nu))
+                  + (dc if i == j else zero)
+                  for j in range(r)] for i in range(r)]
+            rhss_s = [[sum(e_(i, al) * du0K[al][j] for al in range(nu))
+                       + f_(i, j) for i in range(r)] for j in range(nx)]
+            rhss_s += [[sum(e_(i, al) * du0k[ri][al] for al in range(nu))
+                        - h_(ri, i) for i in range(r)] for ri in range(R)]
+            sols_s, ok_s = _chol_solve_retry(S, rhss_s, zero)
+            ok_t = ok_t * ok_s
+            Knu = [[sols_s[j][i] for j in range(nx)] for i in range(r)]
+            knu = [[sols_s[nx + ri][i] for i in range(r)]
+                   for ri in range(R)]
+            K = [[du0K[al][j] - sum(Y[al][jr] * Knu[jr][j]
+                                    for jr in range(r))
+                  for j in range(nx)] for al in range(nu)]
+            kk = [[du0k[ri][al] - sum(Y[al][jr] * knu[ri][jr]
+                                      for jr in range(r))
+                   for al in range(nu)] for ri in range(R)]
+            P_new = [[Qxx[i][j]
+                      + sum(Qux[al][i] * K[al][j] for al in range(nu))
+                      + sum(f_(jr, i) * Knu[jr][j] for jr in range(r))
+                      for j in range(nx)] for i in range(nx)]
+            p = [[qx[ri][i]
+                  + sum(kk[ri][al] * Qux[al][i] for al in range(nu))
+                  + sum(knu[ri][jr] * f_(jr, i) for jr in range(r))
+                  for i in range(nx)] for ri in range(R)]
+        else:
+            K, kk = du0K, du0k
+            P_new = [[Qxx[i][j]
+                      + sum(Qux[al][i] * K[al][j] for al in range(nu))
+                      for j in range(nx)] for i in range(nx)]
+            p = [[qx[ri][i]
+                  + sum(kk[ri][al] * Qux[al][i] for al in range(nu))
+                  for i in range(nx)] for ri in range(R)]
+
+        ok_scr[0] = ok_scr[0] * ok_t
+        P = [[0.5 * (P_new[i][j] + P_new[j][i]) for j in range(nx)]
+             for i in range(nx)]
+
+        # stream per-stage tensors for the forward pass
+        for al in range(nu):
+            for j in range(nx):
+                K_ref[lt * nu * nx + al * nx + j, 0] = K[al][j]
+        for ri in range(R):
+            for al in range(nu):
+                k_ref[lt * R * nu + ri * nu + al, 0] = kk[ri][al]
+            for i in range(nx):
+                pb_ref[lt * R * nx + ri * nx + i, 0] = pbar[ri][i]
+            if r > 0:
+                for jr in range(r):
+                    knu_ref[lt * R * r + ri * r + jr, 0] = knu[ri][jr]
+        for i in range(nx):
+            for al in range(nu):
+                Mxu_ref[lt * nx * nu + i * nu + al, 0] = Mxu[i][al]
+            for j in range(nx):
+                Pb_ref[lt * nx * nx + i * nx + j, 0] = Pbar[i][j]
+        if r > 0:
+            for jr in range(r):
+                for j in range(nx):
+                    Knu_ref[lt * r * nx + jr * nx + j, 0] = Knu[jr][j]
+
+    for i in range(nx):
+        for j in range(nx):
+            P_scr[i * nx + j] = P[i][j]
+    for ri in range(R):
+        for i in range(nx):
+            p_scr[ri * nx + i] = p[ri][i]
+
+    @pl.when(t == n_chunks - 1)
+    def _():
+        ok_ref[0, 0] = ok_scr[0]
+
+
+def _fwd_general_body(CH, nx, nu, R, r, n_chunks, refs):
+    """One chunk (CH stages, oldest→newest) of the general forward sweep."""
+    it = iter(refs)
+    A_ref, B_ref, c_ref = next(it), next(it), next(it)
+    K_ref, k_ref, Pb_ref, pb_ref, Mxu_ref = (next(it), next(it), next(it),
+                                             next(it), next(it))
+    if r > 0:
+        Knu_ref, knu_ref, Jx_ref = next(it), next(it), next(it)
+    dX_ref, dU_ref, dLam_ref = next(it), next(it), next(it)
+    if r > 0:
+        dNu_ref = next(it)
+    dx_scr = next(it)
+
+    t = pl.program_id(1) if n_chunks > 1 else jnp.asarray(0, jnp.int32)
+
+    @pl.when(t == 0)
+    def _():
+        dx_scr[...] = jnp.zeros_like(dx_scr)
+
+    dx = [[dx_scr[ri * nx + j] for j in range(nx)] for ri in range(R)]
+    for lt in range(CH):
+        du = [[sum(K_ref[lt * nu * nx + al * nx + j, 0] * dx[ri][j]
+                   for j in range(nx))
+               + k_ref[lt * R * nu + ri * nu + al, 0]
+               for al in range(nu)] for ri in range(R)]
+        if r > 0:
+            dnu = [[sum(Knu_ref[lt * r * nx + jr * nx + j, 0] * dx[ri][j]
+                        for j in range(nx))
+                    + knu_ref[lt * R * r + ri * r + jr, 0]
+                    for jr in range(r)] for ri in range(R)]
+        dxn = [[sum(A_ref[lt * nx * nx + i * nx + j, 0] * dx[ri][j]
+                    for j in range(nx))
+                + sum(B_ref[lt * nx * nu + i * nu + al, 0] * du[ri][al]
+                      for al in range(nu))
+                + c_ref[lt * R * nx + ri * nx + i, 0]
+                for i in range(nx)] for ri in range(R)]
+        for ri in range(R):
+            for i in range(nx):
+                dlam = (sum(Pb_ref[lt * nx * nx + i * nx + j, 0]
+                            * dxn[ri][j] for j in range(nx))
+                        + sum(Mxu_ref[lt * nx * nu + i * nu + al, 0]
+                              * du[ri][al] for al in range(nu))
+                        + pb_ref[lt * R * nx + ri * nx + i, 0])
+                if r > 0:
+                    dlam = dlam + sum(
+                        dnu[ri][jr] * Jx_ref[lt * r * nx + jr * nx + i, 0]
+                        for jr in range(r))
+                dX_ref[lt * R * nx + ri * nx + i, 0] = dxn[ri][i]
+                dLam_ref[lt * R * nx + ri * nx + i, 0] = dlam
+            for al in range(nu):
+                dU_ref[lt * R * nu + ri * nu + al, 0] = du[ri][al]
+            if r > 0:
+                for jr in range(r):
+                    dNu_ref[lt * R * r + ri * r + jr, 0] = dnu[ri][jr]
+        dx = dxn
+    for ri in range(R):
+        for i in range(nx):
+            dx_scr[ri * nx + i] = dx[ri][i]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "nx", "nu", "R", "r",
+                                             "interpret"))
+def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
+                                 E, F, h, Jx, H, nx, nu, R, r,
+                                 interpret=False):
+    """Streamed general sweep.  Per-rhs tensors arrive STAGE-MAJOR —
+    mx/c (B,H,R,nx), mu (B,H,R,nu), h (B,H,R,r) — so a horizon chunk is
+    one contiguous block; outputs come back stage-major too."""
+    B = A.shape[0]
+    ns = nx + nu
+    Gt = B // _TILE
+    CH = _pick_chunk_general(H, nx, nu, R, r)
+    n_chunks = H // CH
+    f32 = jnp.float32
+
+    ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(G, B),
+           _to_tiles(M, B), _to_tiles(mx, B), _to_tiles(mu_, B),
+           _to_tiles(c, B)]
+    if r > 0:
+        ins += [_to_tiles(h, B), _to_tiles(E, B), _to_tiles(F, B)]
+    ins += [_to_tiles(delta.reshape(B, 1), B),
+            _to_tiles(dc.reshape(B, 1), B)]
+
+    def chunk_spec(rows, reverse):
+        if reverse:
+            return pl.BlockSpec((CH * rows, 1, 8, 128),
+                                lambda g, t: (n_chunks - 1 - t, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((CH * rows, 1, 8, 128),
+                            lambda g, t: (t, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(rows):
+        return pl.BlockSpec((rows, 1, 8, 128), lambda g, t: (0, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def hbm(rows):
+        return jax.ShapeDtypeStruct((rows, Gt, 8, 128), f32)
+
+    bwd_in_specs = [chunk_spec(nx * nx, True), chunk_spec(nx * nu, True),
+                    chunk_spec(ns * ns, True), chunk_spec(ns * ns, True),
+                    chunk_spec(R * nx, True), chunk_spec(R * nu, True),
+                    chunk_spec(R * nx, True)]
+    if r > 0:
+        bwd_in_specs += [chunk_spec(R * r, True), chunk_spec(r * nu, True),
+                         chunk_spec(r * nx, True)]
+    bwd_in_specs += [const_spec(1), const_spec(1)]
+    bwd_out_specs = [chunk_spec(nu * nx, True), chunk_spec(R * nu, True),
+                     chunk_spec(nx * nx, True), chunk_spec(R * nx, True),
+                     chunk_spec(nx * nu, True)]
+    bwd_out_shape = [hbm(H * nu * nx), hbm(H * R * nu), hbm(H * nx * nx),
+                     hbm(H * R * nx), hbm(H * nx * nu)]
+    if r > 0:
+        bwd_out_specs += [chunk_spec(r * nx, True), chunk_spec(R * r, True)]
+        bwd_out_shape += [hbm(H * r * nx), hbm(H * R * r)]
+    bwd_out_specs += [const_spec(1)]
+    bwd_out_shape += [hbm(1)]
+
+    bwd = pl.pallas_call(
+        lambda *refs: _bwd_general_body(CH, nx, nu, R, r, n_chunks, refs),
+        grid=(Gt, n_chunks),
+        in_specs=bwd_in_specs,
+        out_specs=bwd_out_specs,
+        out_shape=bwd_out_shape,
+        scratch_shapes=[pltpu.VMEM((nx * nx, 8, 128), f32),
+                        pltpu.VMEM((R * nx, 8, 128), f32),
+                        pltpu.VMEM((1, 8, 128), f32)],
+        interpret=interpret,
+    )
+    bwd_out = bwd(*ins)
+    if r > 0:
+        K, k, Pb, pb, Mxu, Knu, knu, okm = bwd_out
+    else:
+        K, k, Pb, pb, Mxu, okm = bwd_out
+
+    fwd_ins = [ins[0], ins[1], ins[6], K, k, Pb, pb, Mxu]
+    fwd_in_specs = [chunk_spec(nx * nx, False), chunk_spec(nx * nu, False),
+                    chunk_spec(R * nx, False), chunk_spec(nu * nx, False),
+                    chunk_spec(R * nu, False), chunk_spec(nx * nx, False),
+                    chunk_spec(R * nx, False), chunk_spec(nx * nu, False)]
+    if r > 0:
+        fwd_ins += [Knu, knu, _to_tiles(Jx, B)]
+        fwd_in_specs += [chunk_spec(r * nx, False), chunk_spec(R * r, False),
+                         chunk_spec(r * nx, False)]
+    fwd_out_specs = [chunk_spec(R * nx, False), chunk_spec(R * nu, False),
+                     chunk_spec(R * nx, False)]
+    fwd_out_shape = [hbm(H * R * nx), hbm(H * R * nu), hbm(H * R * nx)]
+    if r > 0:
+        fwd_out_specs += [chunk_spec(R * r, False)]
+        fwd_out_shape += [hbm(H * R * r)]
+
+    fwd = pl.pallas_call(
+        lambda *refs: _fwd_general_body(CH, nx, nu, R, r, n_chunks, refs),
+        grid=(Gt, n_chunks),
+        in_specs=fwd_in_specs,
+        out_specs=fwd_out_specs,
+        out_shape=fwd_out_shape,
+        scratch_shapes=[pltpu.VMEM((R * nx, 8, 128), f32)],
+        interpret=interpret,
+    )
+    fwd_out = fwd(*fwd_ins)
+    dX = _from_tiles(fwd_out[0], B, (H, R, nx))
+    dU = _from_tiles(fwd_out[1], B, (H, R, nu))
+    dLam = _from_tiles(fwd_out[2], B, (H, R, nx))
+    if r > 0:
+        dNu = _from_tiles(fwd_out[3], B, (H, R, r))
+    else:
+        dNu = jnp.zeros((B, H, R, 0), f32)
+    ok = _from_tiles(okm, B, (1,))[:, 0] > 0.5
+    return dX, dU, dLam, dNu, ok
+
+
+def riccati_sweep_general_pallas(A, B_, G, M, mx, mu_, c, delta, dc,
+                                 E, F, h, Jx, interpret=False):
+    """Batched general sweep via the streamed kernels.
+
+    Batched-argument convention matches ``vmap`` of
+    :func:`~pyneuralempc_tpu.solve.riccati.riccati_sweep_general_ref`:
+    per-rhs tensors are rhs-major — ``mx/c (B,R,H,nx)``, ``mu (B,R,H,nu)``,
+    ``h (B,R,H,r)`` — and outputs ``dX/dLam (B,R,H,nx)``, ``dU (B,R,H,nu)``,
+    ``dNu (B,R,H,r)``.  Zero-width EQ inputs (r=0) are accepted.
+    Batch is padded to a multiple of 1024 with benign PD data."""
+    B = A.shape[0]
+    H, nx = A.shape[1], A.shape[2]
+    nu = B_.shape[3]
+    R = c.shape[1]
+    r = E.shape[2] if E is not None else 0
+    Bp = ((B + _TILE - 1) // _TILE) * _TILE
+    pad = Bp - B
+
+    def padded(x, fill=0.0):
+        if pad == 0:
+            return x
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    ns = nx + nu
+    A_p, B_p, G_p = padded(A), padded(B_), padded(G)
+    M_p = padded(M)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(ns, dtype=M.dtype), (pad, H, ns, ns))
+        M_p = M_p.at[B:].set(eye)
+    # rhs-major (B,R,H,·) -> stage-major (B,H,R,·) for chunked streaming
+    sm = lambda x: jnp.swapaxes(x, 1, 2)
+    mx_p, mu_p, c_p = padded(sm(mx)), padded(sm(mu_)), padded(sm(c))
+    delta_p = padded(delta.reshape(B, 1))
+    dc_p = padded(dc.reshape(B, 1))
+    if r > 0:
+        E_p, F_p, Jx_p = padded(E), padded(F), padded(Jx)
+        h_p = padded(sm(h))
+    else:
+        E_p = F_p = Jx_p = h_p = None
+
+    dX, dU, dLam, dNu, ok = _riccati_general_pallas_call(
+        A_p, B_p, G_p, M_p, mx_p, mu_p, c_p, delta_p, dc_p,
+        E_p, F_p, h_p, Jx_p, H=H, nx=nx, nu=nu, R=R, r=r,
+        interpret=interpret)
+    rm = lambda x: jnp.swapaxes(x, 1, 2)   # stage-major -> rhs-major
+    return (rm(dX)[:B], rm(dU)[:B], rm(dLam)[:B], rm(dNu)[:B], ok[:B])
+
+
+def _ref_sweep_general(A, B_, G, M, mx, mu_, c, delta, dc, E, F, h, Jx):
+    from ...solve.riccati import riccati_sweep_general_ref
+    return riccati_sweep_general_ref(A, B_, G, M, mx, mu_, c, delta,
+                                     delta_c=dc, E=E, F=F, h=h, Jx=Jx)
+
+
+@jax.custom_batching.custom_vmap
+def riccati_sweep_general_custom(A, B_, G, M, mx, mu_, c, delta, dc,
+                                 E, F, h, Jx):
+    return _ref_sweep_general(A, B_, G, M, mx, mu_, c, delta, dc,
+                              E, F, h, Jx)
+
+
+@riccati_sweep_general_custom.def_vmap
+def _riccati_general_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_,
+                               c, delta, dc, E, F, h, Jx):
+    import os
+
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape)
+
+    args = [bcast(x, b) for x, b in
+            zip((A, B_, G, M, mx, mu_, c), in_batched[:7])]
+    delta_b = (delta if in_batched[7]
+               else jnp.broadcast_to(jnp.asarray(delta)[None], (axis_size,)))
+    dc_b = (dc if in_batched[8]
+            else jnp.broadcast_to(jnp.asarray(dc)[None], (axis_size,)))
+    eq = [bcast(x, b) for x, b in zip((E, F, h, Jx), in_batched[9:])]
+
+    H, nx = args[0].shape[1], args[0].shape[2]
+    nu = args[1].shape[3]
+    R = args[6].shape[1]
+    r = eq[0].shape[2]
+    dev = jax.config.jax_default_device
+    dev_platform = (dev if isinstance(dev, str)
+                    else getattr(dev, "platform", None))
+    on_tpu = (jax.default_backend() == "tpu"
+              and dev_platform in (None, "tpu"))
+    use_pallas = (_HAS_PALLAS and _kernel_fits_general(H, nx, nu, R, r)
+                  and on_tpu
+                  and os.environ.get("NEMPC_DISABLE_PALLAS") != "1")
+    if use_pallas:
+        out = riccati_sweep_general_pallas(
+            args[0], args[1], args[2], args[3], args[4], args[5], args[6],
+            delta_b, dc_b, eq[0] if r else None, eq[1] if r else None,
+            eq[2] if r else None, eq[3] if r else None)
+    else:
+        out = jax.vmap(_ref_sweep_general)(*args, delta_b, dc_b, *eq)
+    return out, (True, True, True, True, True)
+
+
 # ---- custom_vmap binding ----
 
 def _ref_sweep(A, B_, G, M, mx, mu_, c, delta):

@@ -182,8 +182,37 @@ def _chol_local_retry(Q, eye):
 
 def riccati_sweep_general(A, B, G, M, m_x, m_u, c, delta, delta_c=1e-8,
                           E=None, F=None, h=None, Jx=None):
+    """Dispatching wrapper around :func:`riccati_sweep_general_ref`.
+
+    Like :func:`riccati_sweep`, this is bound through
+    ``jax.custom_batching.custom_vmap``: the unbatched call runs the scan
+    reference; under ``vmap`` on TPU the whole batch dispatches to the
+    streamed general Pallas kernels
+    (:func:`~pyneuralempc_tpu.ops.pallas.riccati_kernel.
+    riccati_sweep_general_pallas`) when the (H, nx, nu, R, r) working set
+    fits VMEM — closing the hole where EQ/border-constrained fleets had
+    only the XLA scan, the shape that faults the TPU compiler at fleet
+    batch sizes on the plain path (fleet_tpu6_noker.log).
+    """
+    from ..ops.pallas.riccati_kernel import riccati_sweep_general_custom
+    R, H, nx = c.shape
+    nu = B.shape[2]
+    dtype = A.dtype
+    if E is None or E.shape[1] == 0:
+        E = jnp.zeros((H, 0, nu), dtype)
+        F = jnp.zeros((H, 0, nx), dtype)
+        h = jnp.zeros((R, H, 0), dtype)
+        Jx = jnp.zeros((H, 0, nx), dtype)
+    dc = jnp.asarray(delta_c, dtype)
+    return riccati_sweep_general_custom(A, B, G, M, m_x, m_u, c,
+                                        jnp.asarray(delta, dtype), dc,
+                                        E, F, h, Jx)
+
+
+def riccati_sweep_general_ref(A, B, G, M, m_x, m_u, c, delta, delta_c=1e-8,
+                              E=None, F=None, h=None, Jx=None):
     """Multi-right-hand-side, optionally equality-constrained Riccati sweep
-    (one problem; ``vmap`` for batches).
+    (one problem; ``vmap`` for batches) — lax.scan reference.
 
     Extends :func:`riccati_sweep_ref` two ways (VERDICT r2 item 2):
 

@@ -18,8 +18,10 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from pyneuralempc_tpu.ops.pallas.riccati_kernel import (  # noqa: E402
-    _pick_chunk, riccati_sweep_pallas)
-from pyneuralempc_tpu.solve.riccati import riccati_sweep_ref  # noqa: E402
+    _pick_chunk, _pick_chunk_general, riccati_sweep_general_pallas,
+    riccati_sweep_pallas)
+from pyneuralempc_tpu.solve.riccati import (  # noqa: E402
+    riccati_sweep_general_ref, riccati_sweep_ref)
 
 
 def make_data(B, H, nx, nu, seed=0):
@@ -114,6 +116,69 @@ def check_local_retry(B=1024, H=8, nx=3, nu=2):
     assert poisoned_err < 5e-3   # rescued gains are regularised; looser
 
 
+def make_general_data(B, H, nx, nu, R, r, seed=0):
+    rng = np.random.default_rng(seed)
+    base = make_data(B, H, nx, nu, seed=seed)
+    A, Bm, G, M, _, _, _, delta = base
+    mx = jnp.asarray(rng.normal(0, 1, (B, R, H, nx)), jnp.float32)
+    mu_ = jnp.asarray(rng.normal(0, 1, (B, R, H, nu)), jnp.float32)
+    c = jnp.asarray(rng.normal(0, 0.1, (B, R, H, nx)), jnp.float32)
+    dc = jnp.full((B,), 1e-8, jnp.float32)
+    if r:
+        E = jnp.asarray(np.eye(r, nu)
+                        + 0.2 * rng.normal(0, 1, (B, H, r, nu)), jnp.float32)
+        F = jnp.asarray(rng.normal(0, 0.5, (B, H, r, nx)), jnp.float32)
+        h = jnp.asarray(rng.normal(0, 0.3, (B, R, H, r)), jnp.float32)
+        Jx = jnp.asarray(rng.normal(0, 0.5, (B, H, r, nx)), jnp.float32)
+    else:
+        E = F = h = Jx = None
+    return [A, Bm, G, M, mx, mu_, c, delta, dc, E, F, h, Jx]
+
+
+def check_general(name, B, H, nx, nu, R, r, time_it=False):
+    """Compiled general (multi-rhs + stage-EQ Schur) kernels vs the
+    vmapped general scan on hardware."""
+    ch = _pick_chunk_general(H, nx, nu, R, r)
+    args = make_general_data(B, H, nx, nu, R, r)
+    A, Bm, G, M, mx, mu_, c, delta, dc, E, F, h, Jx = args
+
+    def ref_one(A, Bm, G, M, mx, mu_, c, d, E, F, h, Jx):
+        return riccati_sweep_general_ref(A, Bm, G, M, mx, mu_, c, d, 1e-8,
+                                         E, F, h, Jx)
+
+    with jax.default_matmul_precision("float32"):
+        if r:
+            ref_fn = jax.jit(jax.vmap(ref_one))
+            ref_args = (A, Bm, G, M, mx, mu_, c, delta, E, F, h, Jx)
+        else:
+            ref_fn = jax.jit(jax.vmap(
+                lambda A, Bm, G, M, mx, mu_, c, d:
+                riccati_sweep_general_ref(A, Bm, G, M, mx, mu_, c, d)))
+            ref_args = (A, Bm, G, M, mx, mu_, c, delta)
+        ker_fn = jax.jit(lambda *a: riccati_sweep_general_pallas(*a))
+        ref = ref_fn(*ref_args)
+        out = ker_fn(*args)
+        jax.block_until_ready(out[0])
+        err = max(float(jnp.max(jnp.abs(o - rr)))
+                  for o, rr in zip(out[:4], ref[:4]) if rr.size)
+        ok_agree = bool(jnp.all(out[4] == ref[4]))
+        line = (f"{name}: B={B} H={H} nx={nx} nu={nu} R={R} r={r} CH={ch} "
+                f"max|kernel-scan|={err:.2e} ok-flags-agree={ok_agree}")
+        if time_it:
+            for fn, a, tag in ((ref_fn, ref_args, "scan"),
+                               (ker_fn, args, "kernel")):
+                fn(*a)[0].block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    o = fn(*a)
+                jax.block_until_ready(o[0])
+                line += f"  {tag}={1e3*(time.perf_counter()-t0)/10:.2f}ms"
+        print(line, flush=True)
+        scale = max(float(jnp.max(jnp.abs(rr))) for rr in ref[:4] if rr.size)
+        assert err <= 5e-4 * max(scale, 1.0), (err, scale)
+        assert ok_agree
+
+
 def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     assert jax.default_backend() == "tpu", "run this on the TPU backend"
@@ -122,6 +187,12 @@ def main():
     check("quadrotor-size (streamed path)", B=2048, H=50, nx=12, nu=4,
           time_it=True)
     check_local_retry()
+    check_general("general: quadrotor + stage EQ", B=2048, H=50, nx=12,
+                  nu=4, R=1, r=2, time_it=True)
+    check_general("general: LV + 8-row border", B=4096, H=20, nx=2, nu=1,
+                  R=9, r=0, time_it=True)
+    check_general("general: EQ + border combined", B=1024, H=30, nx=4,
+                  nu=2, R=5, r=1)
     print("ALL TPU KERNEL CHECKS PASS")
 
 
