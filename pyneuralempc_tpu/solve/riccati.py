@@ -434,8 +434,9 @@ def make_riccati_direction(nlp: NLP, cfg, sweep_impl=None) -> Callable:
         raise ValueError(
             "custom sweep implementations (horizon sharding / pscan) "
             "support only the plain Riccati path; stage EQ rows and "
-            "trajectory-level border constraints use the general scan "
-            "sweep on this release")
+            "trajectory-level border constraints use the general sweep "
+            "(scan on CPU, streamed Pallas kernels on TPU) on this "
+            "release")
 
     def phi1(x, u, p, tvp_t, params):
         """Single-stage step: (nx,), (nu,) -> (nx,)."""

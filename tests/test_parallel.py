@@ -87,3 +87,35 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_hot_path_has_no_data_collectives(mpc_and_params):
+    """Structural scaling guarantee (docs/SCALING.md): the scenario-sharded
+    warm step contains NO data collectives — the only cross-shard traffic
+    permitted is the batched while_loop's pred[] (one-boolean) all-reduce
+    termination test, which GSPMD must agree on across shards.  A data
+    collective appearing here means some op started mixing batch members
+    and multi-chip scaling would start paying bandwidth for it."""
+    import re
+
+    from pyneuralempc_tpu.core.problem import runtime
+
+    mpc, params = mpc_and_params
+    mesh = make_mesh(8)
+    smpc = ShardedNMPC(mpc, mesh)
+    x0s = _x0s(16)
+    carry, res = smpc.next_batch(x0s, params=params)
+    smpc.next_batch(x0s, params=params, carry=carry)  # populate warm cache
+    key = next(k for k in mpc._batch_cache if k[0])
+    warm = mpc._batch_cache[key]
+    carry_s = shard_leading(carry, mesh)
+    x0_s = shard_leading(x0s, mesh)
+    from pyneuralempc_tpu.parallel.sharding import replicate
+    rt = runtime(x0_s, params=replicate(params, mesh))
+    hlo = warm.lower(carry_s, rt).compile().as_text()
+    banned = re.findall(r"all-gather|collective-permute|all-to-all"
+                        r"|reduce-scatter", hlo)
+    assert not banned, f"data collectives on the hot path: {set(banned)}"
+    for m in re.finditer(r"^.*= (\S+) all-reduce.*$", hlo, re.M):
+        assert m.group(1).startswith("pred[]"), (
+            f"non-predicate all-reduce on the hot path: {m.group(0)[:200]}")

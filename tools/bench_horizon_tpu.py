@@ -1,103 +1,112 @@
-"""Horizon-axis sweep benchmark on real TPU (run manually:
+"""Horizon-axis benchmark on real TPU (run manually:
 python tools/bench_horizon_tpu.py).
 
-VERDICT r2 item 7 asks for a MEASURED horizon-axis number, not just the
-recipe.  Multi-chip hardware is unavailable here, so the hardware-true
-measurement this host CAN make is the single-chip crossover between the
-three sweep implementations as H grows:
+VERDICT r2 item 7 asks for a MEASURED horizon-axis number.  Multi-chip
+hardware is unavailable here, so the hardware-true measurement this host
+CAN make is end-to-end warm re-plan latency vs H for the three sweep
+implementations on one chip:
 
-* ``riccati_sweep_ref`` — lax.scan, O(H) sequential depth (the XLA
-  latency-bound shape);
-* ``riccati_sweep_pscan`` — associative scan, O(log H) depth at ~3× the
-  FLOPs (the element type sequence parallelism shards across devices:
-  ``parallel/horizon.py`` splits exactly this composition, so its
-  single-chip win over the scan bounds what a horizon-sharded mesh can
-  add on top);
-* the streamed Pallas kernel — O(H) depth but one fused program (no
-  per-stage dispatch overhead).
+* ``riccati`` (default)  — streamed Pallas kernel under vmap, O(H) depth;
+* ``riccati`` + NEMPC_DISABLE_PALLAS=1 — the XLA scan, O(H) depth with
+  per-stage dispatch/fusion overhead;
+* ``riccati_pscan``      — associative scan, O(log H) depth at ~3× FLOPs.
+  Its element composition is exactly what ``parallel/horizon.py`` shards
+  across devices, so its single-chip behaviour bounds what a
+  horizon-sharded mesh adds for a single problem.
 
-The virtual-mesh horizon-sharding overhead (the all_gather stitching
-cost) is measured separately by ``bench_scaling.py --horizon-axis`` on
-the CPU mesh; the two together give the measured picture docs/SCALING.md
-records.  Output committed as tools/bench_horizon_tpu.log.
+Earlier micro-benchmarking of the bare sweeps produced sub-ms times the
+TPU tunnel cannot resolve credibly (single-shot timings vary 3×,
+CLAUDE.md), so this harness times the FULL solver (NMPC warm re-plans,
+pipelined) where per-step costs are 10⁺ ms.
+
+Measured limitation worth knowing (reproduced 2026-08-20): the pscan
+sweep at B=1024, H=1024, nx=4 does not even compile on v5e — its
+(B, H, nx, nx) element tensors tile as T(4,128) with a 32× padding
+expansion, and the compiler asks for 19.3 GB of HBM (15.75 available).
+Sequence parallelism is the FEW-long-problems tool; fleet batch belongs
+to the scenario axis.  Output committed as tools/bench_horizon_tpu.log.
 """
 
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from pyneuralempc_tpu.ops.pallas.riccati_kernel import (  # noqa: E402
-    _kernel_fits, riccati_sweep_pallas)
-from pyneuralempc_tpu.solve.pscan import riccati_sweep_pscan  # noqa: E402
-from pyneuralempc_tpu.solve.riccati import riccati_sweep_ref  # noqa: E402
+
+def build_mpc(H, kkt):
+    import jax.numpy as jnp
+    import pyneuralempc_tpu as nempc
+
+    def f_true(x, u):
+        xr = 30.0 * (x + 1.0)
+        ur = 50.0 * u
+        d1 = 0.5 * xr[:, :1] - 0.025 * xr[:, :1] * xr[:, 1:]
+        d2 = -0.5 * xr[:, 1:] + ur + 0.005 * xr[:, :1] * xr[:, 1:]
+        return jnp.concatenate([d1, d2], axis=1) / 30.0
+
+    model = nempc.jax_dynamics(f_true, x_dim=2, u_dim=1)
+    cost = nempc.StageCost(stage=lambda x, u: 1.1 * jnp.sum(u))
+    box = nempc.DomainConstraint(
+        states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
+        control_constraint=[[0.0, 1.2]])
+    return nempc.NMPC(model, cost, [box], H=H, DT=2.0 / H,
+                      integrator="rk4",
+                      config=nempc.IPConfig(tol=1e-5, kkt=kkt))
 
 
-def make_data(B, H, nx, nu, seed=0):
-    rng = np.random.default_rng(seed)
-    ns = nx + nu
-    A = jnp.asarray(np.eye(nx) + 0.1 * rng.normal(0, 0.3, (B, H, nx, nx)),
-                    jnp.float32)
-    Bm = jnp.asarray(0.1 * rng.normal(0, 1, (B, H, nx, nu)), jnp.float32)
-    G = jnp.asarray(rng.normal(0, 0.05, (B, H, ns, ns)), jnp.float32)
-    G = 0.5 * (G + G.transpose(0, 1, 3, 2))
-    M = jnp.asarray(rng.normal(0, 0.1, (B, H, ns, ns)), jnp.float32)
-    M = 0.5 * (M + M.transpose(0, 1, 3, 2)) + jnp.eye(ns)
-    mx = jnp.asarray(rng.normal(0, 1, (B, H, nx)), jnp.float32)
-    mu_ = jnp.asarray(rng.normal(0, 1, (B, H, nu)), jnp.float32)
-    c = jnp.asarray(rng.normal(0, 0.1, (B, H, nx)), jnp.float32)
-    delta = jnp.zeros((B,), jnp.float32)
-    return [A, Bm, G, M, mx, mu_, c, delta]
-
-
-def time_fn(fn, args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out[0])
-    # warm the dispatch pipeline (first chained dispatches after a sync
-    # run slow through the tunnel — CLAUDE.md)
+def measure(mpc, B, steps=16):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.stack([rng.uniform(0.2, 0.8, B),
+                                rng.uniform(-0.9, -0.3, B)], axis=1),
+                      jnp.float32)
+    carry, res = mpc.next_batch(x0s)
+    jax.block_until_ready(carry.w)
     for _ in range(3):
-        out = fn(*args)
-    jax.block_until_ready(out[0])
+        carry, res = mpc.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    for _ in range(8):      # tunnel pipeline ramp, untimed
+        carry, res = mpc.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out[0])
-    return (time.perf_counter() - t0) / reps * 1e3
+    for _ in range(steps):
+        carry, res = mpc.next_batch(res.x[:, 0], carry=carry)
+    jax.block_until_ready(carry.w)
+    return ((time.perf_counter() - t0) / steps * 1e3,
+            int(res.converged.sum()))
 
 
 def main():
+    import jax
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     assert jax.default_backend() == "tpu"
-    B, nx, nu = 64, 4, 2
-    print(f"B={B} nx={nx} nu={nu}  (ms per batched sweep)", flush=True)
-    print(f"{'H':>5} {'scan':>9} {'pscan':>9} {'pallas':>9}  winner",
+    print("end-to-end warm re-plan ms/step (pipelined), LV exact "
+          "dynamics, tol=1e-5", flush=True)
+    print(f"{'B':>5} {'H':>5} {'pallas':>9} {'scan':>9} {'pscan':>9}",
           flush=True)
-    with jax.default_matmul_precision("float32"):
-        scan_fn = jax.jit(jax.vmap(riccati_sweep_ref))
-        pscan_fn = jax.jit(jax.vmap(riccati_sweep_pscan))
-        ker_fn = jax.jit(lambda *a: riccati_sweep_pallas(*a))
-        crossover = None
-        for H in (32, 64, 128, 256, 512, 1024):
-            args = make_data(B, H, nx, nu)
-            t_scan = time_fn(scan_fn, args)
-            t_pscan = time_fn(pscan_fn, args)
-            t_ker = (time_fn(ker_fn, args)
-                     if _kernel_fits(H, nx, nu) else float("nan"))
-            rows = {"scan": t_scan, "pscan": t_pscan, "pallas": t_ker}
-            winner = min((v, k) for k, v in rows.items()
-                         if v == v)[1]
-            if crossover is None and t_pscan < t_scan:
-                crossover = H
-            print(f"{H:>5} {t_scan:>9.2f} {t_pscan:>9.2f} {t_ker:>9.2f}"
-                  f"  {winner}", flush=True)
-    print(f"pscan-beats-scan crossover: "
-          f"{'H=%d' % crossover if crossover else 'not reached'}",
-          flush=True)
+    for B in (8, 256):
+        for H in (64, 512):
+            row = {}
+            for tag, kkt in (("pallas", "riccati"), ("scan", "riccati"),
+                             ("pscan", "riccati_pscan")):
+                if tag == "scan":
+                    os.environ["NEMPC_DISABLE_PALLAS"] = "1"
+                try:
+                    mpc = build_mpc(H, kkt)
+                    ms, conv = measure(mpc, B)
+                    row[tag] = ms
+                    if conv != B:
+                        print(f"  note: {tag} B={B} H={H} conv {conv}/{B}",
+                              flush=True)
+                finally:
+                    os.environ.pop("NEMPC_DISABLE_PALLAS", None)
+            print(f"{B:>5} {H:>5} {row['pallas']:>9.2f} "
+                  f"{row['scan']:>9.2f} {row['pscan']:>9.2f}", flush=True)
 
 
 if __name__ == "__main__":
