@@ -352,6 +352,17 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         return jnp.where(jnp.isfinite(err), err, _BIG)
 
     def init_state(rt, w0, lam0, zl0, zu0, mu0):
+        # Warm-carry hygiene: jnp.clip propagates NaN, so a non-finite
+        # entry in a carried iterate/dual would survive every safeguard
+        # below and poison all subsequent re-plans of that member
+        # (kkt_error pegs at the sentinel; measured round-3, see the
+        # slack-floor note in `iteration`).  Scrub to the cold-start
+        # value instead — the member then behaves as a cold start, which
+        # is the correct recovery.
+        scrub = lambda v: None if v is None else jnp.nan_to_num(
+            v, nan=0.0, posinf=0.0, neginf=0.0)
+        w0, lam0 = scrub(w0), scrub(lam0)
+        zl0, zu0 = scrub(zl0), scrub(zu0)
         # Interior push (Ipopt κ₁ rule): keep w0 strictly inside its box.
         pl = jnp.where(has_lb, lb + cfg.bound_push * jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
         pu = jnp.where(has_ub, ub - cfg.bound_push * jnp.maximum(1.0, jnp.abs(ub)), jnp.inf)
@@ -806,16 +817,28 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
 
         # Slack floor: f32 fraction-to-boundary can round an active bound's
         # slack to exactly zero, which would put inf in Σ next iteration.
-        # Project a hair back into the interior instead.
-        floor_l = jnp.where(has_lb, lb + 1e-9 * jnp.maximum(1.0, jnp.abs(lb)),
+        # Project a hair back into the interior instead.  The margin must
+        # be f32-REPRESENTABLE next to the bound: eps ≈ 6e-8 at |w|≈1, so
+        # a 1e-9 margin rounds back onto the bound and the floor is a
+        # no-op (measured: one warm LV member landed w == ub exactly under
+        # jit fma rounding, the κΣ corridor divided by the zero slack,
+        # zu went inf -> 0·inf = NaN complementarity -> the NaN stuck in
+        # the warm carry and the member burned max_iter every re-plan
+        # after; round-3 255/256 trace).  2e-7 matches the polish phase's
+        # guard, which hit the same wall.
+        floor_l = jnp.where(has_lb, lb + 2e-7 * jnp.maximum(1.0, jnp.abs(lb)),
                             -jnp.inf)
-        floor_u = jnp.where(has_ub, ub - 1e-9 * jnp.maximum(1.0, jnp.abs(ub)),
+        floor_u = jnp.where(has_ub, ub - 2e-7 * jnp.maximum(1.0, jnp.abs(ub)),
                             jnp.inf)
         w_new = jnp.clip(w_new, jnp.minimum(floor_l, floor_u),
                          jnp.maximum(floor_l, floor_u))
 
         # Ipopt's κΣ dual safeguard: keep z within a corridor of μ/slack.
+        # The tiny-slack guard keeps the corridor finite even if a slack
+        # ever reaches the f32 floor despite the projection above.
         sl_n, su_n = slacks(w_new)
+        sl_n = jnp.maximum(sl_n, 1e-12)
+        su_n = jnp.maximum(su_n, 1e-12)
         zl_new = jnp.where(
             has_lb,
             jnp.clip(zl_new, mu / (cfg.kappa_sigma * sl_n),

@@ -121,3 +121,49 @@ def test_merit_penalty_recovers_from_spike():
     assert bool(res.converged), (int(res.iterations),
                                  float(res.kkt_error))
     assert int(res.iterations) <= 45
+
+
+def test_poisoned_warm_carry_recovers():
+    """Warm-carry hygiene (round-3 255/256 trace): a NaN in a carried dual
+    or iterate must NOT stick — jnp.clip propagates NaN through every
+    safeguard, so before the init-scrub a poisoned member burned max_iter
+    on every subsequent re-plan while a cold start from the same state
+    converged in a handful of iterations.  init_state now scrubs carried
+    fields to cold-start values."""
+    import jax
+
+    f = lambda x, u: -0.5 * x + u  # noqa: E731
+    model = nempc.jax_dynamics(f, x_dim=1, u_dim=1)
+    cost = StageCost(stage=lambda x, u: jnp.sum(x ** 2) + jnp.sum(u ** 2))
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]],
+                                 control_constraint=[[-1.0, 1.0]])
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="euler",
+                     config=IPConfig(max_iter=30))
+    x0s = jnp.asarray([[0.5], [-0.3]])
+    carry, res = mpc.next_batch(x0s)
+    assert int(res.converged.sum()) == 2
+    # poison member 0's duals and iterate with NaN/inf
+    zu = np.asarray(carry.zu).copy()
+    zu[0, 3] = np.nan
+    w = np.asarray(carry.w).copy()
+    w[0, 1] = np.inf
+    carry = carry._replace(zu=jnp.asarray(zu), w=jnp.asarray(w)) \
+        if hasattr(carry, "_replace") else jax.tree_util.tree_map(
+            lambda a: a, carry)
+    carry2, res2 = mpc.next_batch(res.x[:, 0], carry=carry)
+    assert int(res2.converged.sum()) == 2, "poisoned member did not recover"
+    assert bool(jnp.all(jnp.isfinite(carry2.zu)))
+    assert bool(jnp.all(jnp.isfinite(carry2.w)))
+
+
+def test_slack_floor_is_f32_representable():
+    """The interior projection margin must survive f32 rounding next to
+    the bound (eps ≈ 6e-8 at |w| ≈ 1): ub − margin·ub == ub would make the
+    floor a no-op and let an active bound's slack round to exactly zero
+    (the κΣ corridor then divides by it — the round-3 NaN-carry bug)."""
+    ub = np.float32(1.2)
+    margin = np.float32(2e-7) * max(1.0, abs(ub))
+    assert np.float32(ub - margin) < ub
+    # the old margin demonstrably rounded away
+    old = np.float32(1e-9) * max(1.0, abs(ub))
+    assert np.float32(ub - old) == ub
