@@ -313,14 +313,31 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             return A.T @ A + cfg.gn_reg * jnp.eye(n, dtype=dtype)
 
     def slacks(w):
-        sl = jnp.where(has_lb, w - lb, 1.0)
-        su = jnp.where(has_ub, ub - w, 1.0)
+        """Bound slacks, floored at a tiny positive value: every consumer
+        either divides by these (Σ, barrier rhs, fraction-to-boundary,
+        κΣ corridor) or logs them, and an f32 line-search step can land a
+        variable EXACTLY on its bound (measured round-3: jit fma rounding
+        put a control on ub; the resulting inf dual → 0·inf = NaN stuck
+        in the warm carry for every later re-plan).  An exactly-active
+        bound must read as a huge-but-finite barrier force — the next
+        direction then pushes it back inside by ~μ/z — not as inf.
+        Complementarity at the floor is z·1e-12 ≈ 0: exactly right for an
+        active bound, no artificial KKT-error floor (an interior
+        PROJECTION margin instead would cost z·2ulp(|bound|) forever —
+        ~1e-4 at bound scale 60, measured to stall large-scale members
+        just above tol).  Interior-violation REJECTION (line search) uses
+        the raw values — see barrier_value."""
+        sl = jnp.where(has_lb, jnp.maximum(w - lb, 1e-12), 1.0)
+        su = jnp.where(has_ub, jnp.maximum(ub - w, 1e-12), 1.0)
         return sl, su
 
     def barrier_value(w, rt, mu):
-        """φ_μ(w); +inf outside the interior (rejects bad LS candidates)."""
+        """φ_μ(w); +inf outside the interior (rejects bad LS candidates).
+        The interior test uses RAW slacks — the floored ones in slacks()
+        would mask a genuinely outside candidate."""
         sl, su = slacks(w)
-        ok = jnp.all(sl > 0) & jnp.all(su > 0)
+        ok = (jnp.all(jnp.where(has_lb, w - lb, 1.0) > 0)
+              & jnp.all(jnp.where(has_ub, ub - w, 1.0) > 0))
         logs = (jnp.sum(jnp.where(has_lb, jnp.log(jnp.maximum(sl, 1e-30)), 0.0))
                 + jnp.sum(jnp.where(has_ub, jnp.log(jnp.maximum(su, 1e-30)), 0.0)))
         val = nlp.objective(w, rt) - mu * logs
@@ -815,30 +832,19 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         zl_new = zl + alpha_dual * dzl
         zu_new = zu + alpha_dual * dzu
 
-        # Slack floor: f32 fraction-to-boundary can round an active bound's
-        # slack to exactly zero, which would put inf in Σ next iteration.
-        # Project a hair back into the interior instead.  The margin must
-        # be f32-REPRESENTABLE next to the bound: eps ≈ 6e-8 at |w|≈1, so
-        # a 1e-9 margin rounds back onto the bound and the floor is a
-        # no-op (measured: one warm LV member landed w == ub exactly under
-        # jit fma rounding, the κΣ corridor divided by the zero slack,
-        # zu went inf -> 0·inf = NaN complementarity -> the NaN stuck in
-        # the warm carry and the member burned max_iter every re-plan
-        # after; round-3 255/256 trace).  2e-7 matches the polish phase's
-        # guard, which hit the same wall.
-        floor_l = jnp.where(has_lb, lb + 2e-7 * jnp.maximum(1.0, jnp.abs(lb)),
-                            -jnp.inf)
-        floor_u = jnp.where(has_ub, ub - 2e-7 * jnp.maximum(1.0, jnp.abs(ub)),
-                            jnp.inf)
-        w_new = jnp.clip(w_new, jnp.minimum(floor_l, floor_u),
-                         jnp.maximum(floor_l, floor_u))
+        # Clip to the bounds EXACTLY (f32 fraction-to-boundary can round a
+        # step a hair past an active bound).  No interior margin: a
+        # representable margin is ≥ ~2 ulp of the bound scale and would
+        # bias every active bound by z·margin in the KKT error forever
+        # (~1e-4 at bound scale 60 — measured to stall members just above
+        # tol).  Landing exactly ON a bound is safe because slacks() now
+        # floors every divided/logged slack (see its docstring).
+        bl = jnp.where(has_lb, lb, -jnp.inf)
+        bu = jnp.where(has_ub, ub, jnp.inf)
+        w_new = jnp.clip(w_new, bl, bu)
 
         # Ipopt's κΣ dual safeguard: keep z within a corridor of μ/slack.
-        # The tiny-slack guard keeps the corridor finite even if a slack
-        # ever reaches the f32 floor despite the projection above.
         sl_n, su_n = slacks(w_new)
-        sl_n = jnp.maximum(sl_n, 1e-12)
-        su_n = jnp.maximum(su_n, 1e-12)
         zl_new = jnp.where(
             has_lb,
             jnp.clip(zl_new, mu / (cfg.kappa_sigma * sl_n),

@@ -156,14 +156,38 @@ def test_poisoned_warm_carry_recovers():
     assert bool(jnp.all(jnp.isfinite(carry2.w)))
 
 
-def test_slack_floor_is_f32_representable():
-    """The interior projection margin must survive f32 rounding next to
-    the bound (eps ≈ 6e-8 at |w| ≈ 1): ub − margin·ub == ub would make the
-    floor a no-op and let an active bound's slack round to exactly zero
-    (the κΣ corridor then divides by it — the round-3 NaN-carry bug)."""
-    ub = np.float32(1.2)
-    margin = np.float32(2e-7) * max(1.0, abs(ub))
-    assert np.float32(ub - margin) < ub
-    # the old margin demonstrably rounded away
-    old = np.float32(1e-9) * max(1.0, abs(ub))
-    assert np.float32(ub - old) == ub
+def test_exactly_active_bound_is_finite_and_unbiased():
+    """An iterate landing EXACTLY on its bound (f32 fraction-to-boundary
+    rounding) must neither NaN (the round-3 warm-carry poisoning: inf
+    dual → 0·inf complementarity) nor be pushed off the active set by an
+    interior projection margin — at bound scale 60 a representable margin
+    is ≥ ~2 ulp ≈ 1e-5 and costs z·margin of KKT error forever, measured
+    to stall large-scale members just above tol.  slacks() floors the
+    divided/logged slacks instead; the iterate clips to the bound
+    exactly."""
+    import jax
+
+    def lv(x, u):
+        return jnp.concatenate(
+            [0.5 * x[:, :1] - 0.025 * x[:, :1] * x[:, 1:],
+             -0.5 * x[:, 1:] + u + 0.005 * x[:, :1] * x[:, 1:]], axis=1)
+
+    model = nempc.jax_dynamics(lv, x_dim=2, u_dim=1)
+    box = nempc.DomainConstraint(states_constraint=[[0., 60.], [0., 40.]],
+                                 control_constraint=[[0., 60.]])
+    cost = StageCost(stage=lambda x, u: jnp.sum(1.1 * u))
+    # raw-coordinate problem: active u-bounds at lb=0, states O(50) — the
+    # scale at which a projection margin measurably biases the KKT error
+    mpc = nempc.NMPC(model, cost, [box], H=10, DT=0.1, integrator="rk4")
+    x0s = jnp.asarray([[50.0, 5.0], [40.0, 10.0], [55.0, 8.0]])
+    carry, res = mpc.next_batch(x0s)
+    assert bool(res.converged.all()), np.asarray(res.kkt_error)
+    # force a carry with iterates EXACTLY on their bounds: must stay
+    # finite and re-converge, not poison the member
+    w = np.asarray(carry.w).copy()
+    w[0, -10:] = 0.0     # controls pinned exactly on lb
+    carry = carry._replace(w=jnp.asarray(w))
+    carry2, res2 = mpc.next_batch(res.x[:, 0], carry=carry)
+    assert bool(res2.converged.all())
+    for leaf in (carry2.w, carry2.zl, carry2.zu):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
