@@ -810,6 +810,88 @@ def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
     def hbm(rows):
         return jax.ShapeDtypeStruct((rows, Gt, 8, 128), f32)
 
+    if n_chunks == 1:
+        # Whole sweep resident: fuse both directions into ONE kernel so
+        # the per-stage gain tensors (K, k, P̄, p̄, Mxu, and the EQ gains
+        # Knu, knu) never round-trip through HBM — they live in VMEM
+        # scratch shaped like blocked refs ((rows, 1, 8, 128), indexed
+        # [row, 0] exactly as the streamed bodies do).  Mirrors the plain
+        # kernel's fused path.
+        def gspec(rows):
+            return pl.BlockSpec((rows, 1, 8, 128), lambda g: (0, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def scr(rows):
+            return pltpu.VMEM((rows, 8, 128), f32)
+
+        def scr_blk(rows):
+            return pltpu.VMEM((rows, 1, 8, 128), f32)
+
+        n_gains = 7 if r > 0 else 5
+
+        def fused_kernel(*refs):
+            n_core = len(ins)                  # A..c, (h,E,F), delta, dc
+            n_in = n_core + (1 if r > 0 else 0)   # + trailing Jx
+            n_out = 4 if r > 0 else 3          # dX, dU, dLam, (dNu)
+            in_refs = list(refs[:n_core])
+            jx_ref = refs[n_core] if r > 0 else None
+            out_refs = list(refs[n_in:n_in + n_out + 1])   # + ok
+            scratch = list(refs[n_in + n_out + 1:])
+            gains = scratch[:n_gains]
+            P_s, p_s, ok_s, dx_s = scratch[n_gains:]
+            # backward: core ins + gains-as-outputs + ok + carry scratch
+            _bwd_general_body(
+                CH, nx, nu, R, r, 1,
+                in_refs + gains + [out_refs[-1], P_s, p_s, ok_s])
+            # forward: A, B, c + gains + (Knu, knu, Jx) + dX/dU/dLam/(dNu)
+            fwd_refs = [in_refs[0], in_refs[1], in_refs[6]] + gains[:5]
+            if r > 0:
+                fwd_refs += gains[5:7] + [jx_ref]
+            fwd_refs += out_refs[:-1] + [dx_s]
+            _fwd_general_body(CH, nx, nu, R, r, 1, fwd_refs)
+
+        fused_ins = ins + ([_to_tiles(Jx, B)] if r > 0 else [])
+        in_specs = ([gspec(H * nx * nx), gspec(H * nx * nu),
+                     gspec(H * ns * ns), gspec(H * ns * ns),
+                     gspec(H * R * nx), gspec(H * R * nu),
+                     gspec(H * R * nx)]
+                    + ([gspec(H * R * r), gspec(H * r * nu),
+                        gspec(H * r * nx)] if r > 0 else [])
+                    + [gspec(1), gspec(1)]
+                    + ([gspec(H * r * nx)] if r > 0 else []))
+        out_specs = [gspec(H * R * nx), gspec(H * R * nu),
+                     gspec(H * R * nx)]
+        out_shape = [hbm(H * R * nx), hbm(H * R * nu), hbm(H * R * nx)]
+        if r > 0:
+            out_specs.append(gspec(H * R * r))
+            out_shape.append(hbm(H * R * r))
+        out_specs.append(gspec(1))
+        out_shape.append(hbm(1))
+        scratch_shapes = [scr_blk(H * nu * nx), scr_blk(H * R * nu),
+                          scr_blk(H * nx * nx), scr_blk(H * R * nx),
+                          scr_blk(H * nx * nu)]
+        if r > 0:
+            scratch_shapes += [scr_blk(H * r * nx), scr_blk(H * R * r)]
+        scratch_shapes += [scr(nx * nx), scr(R * nx), scr(1), scr(R * nx)]
+        fused_out = pl.pallas_call(
+            fused_kernel,
+            grid=(Gt,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(*fused_ins)
+        dX = _from_tiles(fused_out[0], B, (H, R, nx))
+        dU = _from_tiles(fused_out[1], B, (H, R, nu))
+        dLam = _from_tiles(fused_out[2], B, (H, R, nx))
+        if r > 0:
+            dNu = _from_tiles(fused_out[3], B, (H, R, r))
+        else:
+            dNu = jnp.zeros((B, H, R, 0), f32)
+        ok = _from_tiles(fused_out[-1], B, (1,))[:, 0] > 0.5
+        return dX, dU, dLam, dNu, ok
+
     bwd_in_specs = [chunk_spec(nx * nx, True), chunk_spec(nx * nu, True),
                     chunk_spec(ns * ns, True), chunk_spec(ns * ns, True),
                     chunk_spec(R * nx, True), chunk_spec(R * nu, True),

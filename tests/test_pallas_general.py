@@ -138,3 +138,24 @@ def test_general_dispatcher_unbatched():
     for rr, o in zip(ref[:4], out[:4]):
         np.testing.assert_allclose(np.asarray(o), np.asarray(rr[0]),
                                    atol=1e-5)
+
+
+def test_general_kernel_streamed_path(monkeypatch):
+    """Force multi-chunk streaming (the small test dims otherwise pick
+    CH == H and fuse): shrink the VMEM budget so the chunk picker splits
+    the horizon, exercising the HBM gain round-trip and the cross-chunk
+    carry.  Distinct H from the other tests so the jit cache (keyed on
+    static dims, which capture the budget at trace time) cannot serve a
+    fused compilation."""
+    import pyneuralempc_tpu.ops.pallas.riccati_kernel as rk
+
+    H = 6
+    monkeypatch.setattr(rk, "_VMEM_BUDGET", 900 * 1024)
+    assert rk._pick_chunk_general(H, 2, 2, 2, 1) < H
+    args = make_data(B=2, H=H, R=2, r=1, seed=7)
+    ref = ref_batched(args)
+    out = riccati_sweep_general_pallas(*args, interpret=True)
+    for rr, o in zip(ref[:4], out[:4]):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(rr),
+                                   atol=2e-5)
+    assert bool(jnp.all(ref[4] == out[4]))

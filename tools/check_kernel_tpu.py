@@ -193,6 +193,8 @@ def main():
                   R=9, r=0, time_it=True)
     check_general("general: EQ + border combined", B=1024, H=30, nx=4,
                   nu=2, R=5, r=1)
+    check_general("general: LV + EQ (fused path)", B=4096, H=10, nx=2,
+                  nu=2, R=2, r=1, time_it=True)
     print("ALL TPU KERNEL CHECKS PASS")
 
 
