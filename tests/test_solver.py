@@ -287,8 +287,12 @@ def test_acceptable_level_exit():
         control_constraint=[[0.0, 1.2]])
     x0 = jnp.array([0.3, -0.5])
     # tol far below the f32 floor: without the acceptable exit this burns
-    # max_iter and reports failure; with it, it converges once stalled
-    base = dict(max_iter=60, tol=1e-9)
+    # max_iter and reports failure; with it, it converges once stalled.
+    # (tol=1e-9 stopped being "unreachable" when the floored-slacks change
+    # let exactly-active bounds read ~zero complementarity — this problem
+    # now reaches 1e-10 in 11 iterations; the measured floor is ~1.2e-7,
+    # so 1e-12 keeps the premise.)
+    base = dict(max_iter=60, tol=1e-12)
     mpc_off = nempc.NMPC(model, cost, [box], H=10, DT=0.1,
                          config=IPConfig(acceptable_tol=0.0, **base))
     res_off = mpc_off.next(x0)
