@@ -37,7 +37,8 @@ from .core.transcription import NLP, transcribe
 from .models.base import DynamicsModel, jax_dynamics
 from .models.mlp import MLPDynamics, mlp_apply, mlp_init
 from .models.rolling import RollingWindow, rolling_mlp, rolling_window
-from .models.importers import (load_keras_h5, load_keras_lstm_h5,
+from .models.importers import (load_keras_gru_h5, load_keras_h5,
+                               load_keras_h5_rolling, load_keras_lstm_h5,
                                load_torch_mlp)
 from .models.rnn import (GRUDynamics, LSTMDynamics, gru_dynamics,
                          lstm_dynamics, fit_gru_on_sequences)
@@ -61,7 +62,7 @@ __all__ = [
     "NLP", "transcribe", "DynamicsModel", "jax_dynamics",
     "MLPDynamics", "mlp_apply", "mlp_init", "RollingWindow", "rolling_mlp",
     "rolling_window", "load_keras_h5", "load_keras_lstm_h5",
-    "load_torch_mlp", "GRUDynamics", "LSTMDynamics", "gru_dynamics",
+    "load_keras_gru_h5", "load_keras_h5_rolling", "load_torch_mlp", "GRUDynamics", "LSTMDynamics", "gru_dynamics",
     "lstm_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
     "check_model", "check_problem", "IPConfig", "IPResult",
     "make_solver", "ALMConfig", "make_alm_solver", "make_differentiable_solver",

