@@ -1,10 +1,13 @@
 # Developer entry points (the reference's Makefile:3-4 ran pytest via a
 # helper script; same contract here, plus bench and examples).
 
-.PHONY: test bench examples lint
+.PHONY: test test-all bench examples lint
 
 test:
 	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q -m "slow or not slow"
 
 bench:
 	python bench.py

@@ -122,12 +122,60 @@ def _act_fn(name):
     return _ACT_FNS[name]
 
 
+def _check_norm_axis(cls, name, lcfg):
+    """BN/LN import supports the feature (last) axis only — the framework
+    feeds 2-D (batch, features) blocks."""
+    axis = lcfg.get("axis", -1)
+    if isinstance(axis, (list, tuple)):
+        axis = axis[0] if len(axis) == 1 else axis
+    if axis not in (-1, 1):
+        raise ValueError(
+            f"{cls} layer {name!r}: only axis=-1 (features) is "
+            f"importable, got axis={axis}")
+
+
+def _input_width(lcfg):
+    """Feature width of an InputLayer config (None if undeclared)."""
+    shape = lcfg.get("batch_input_shape") or lcfg.get("batch_shape")
+    if not shape or len(shape) != 2 or shape[-1] is None:
+        return None
+    return int(shape[-1])
+
+
 def _graph_meta(cfg):
-    """Functional config -> (topo-sorted layer list, input name, output
-    name).  Each entry: (name, class_name, layer_config, parent names in
-    declaration order).  Used by the branching-graph importer."""
+    """Model config -> (topo-sorted layer list, inputs, output name).
+
+    Each meta entry: (name, class_name, layer_config, parent names in
+    declaration order).  ``inputs`` is an ordered list of
+    ``(input_name, width)`` — one entry per InputLayer, in the model's
+    input declaration order (multi-input graphs map these onto
+    consecutive slices of the ``[x | u | tvp | p]`` feature block).
+    Sequential configs are synthesized into a chain so the graph
+    interpreter covers them too (BatchNorm/LayerNorm in Sequential
+    stacks)."""
+    top = cfg.get("class_name", "Sequential")
     layers = (cfg["config"]["layers"] if isinstance(cfg["config"], dict)
               else cfg["config"])
+    if top not in ("Functional", "Model"):
+        # Sequential: synthesize the chain graph.
+        meta, prev = [], None
+        for l in layers:
+            name = l.get("name") or l["config"]["name"]
+            cls = l["class_name"]
+            if cls == "InputLayer" and prev is None:
+                meta.append((name, cls, l.get("config", {}), ()))
+                prev = name
+                continue
+            if prev is None:
+                meta.append(("_synth_input", "InputLayer", {}, ()))
+                prev = "_synth_input"
+            meta.append((name, cls, l.get("config", {}), (prev,)))
+            prev = name
+        if not meta:
+            raise ValueError("empty Sequential model config")
+        in_name, in_cfg = meta[0][0], meta[0][2]
+        return meta, [(in_name, _input_width(in_cfg))], meta[-1][0]
+
     by_name, order = {}, []
     for l in layers:
         name = l.get("name") or l["config"]["name"]
@@ -160,11 +208,26 @@ def _graph_meta(cfg):
 
     inputs = [n for n in order
               if by_name[n]["class_name"] == "InputLayer"]
-    if len(inputs) != 1:
-        raise ValueError(
-            f"graph import needs exactly one InputLayer (the framework "
-            f"feeds one concat([x, u, tvp, p]) feature block), got "
-            f"{inputs}")
+    if not inputs:
+        raise ValueError("graph import found no InputLayer")
+    if len(inputs) > 1:
+        # order multi-input graphs by the model's input declaration
+        # (config input_layers), not file order
+        decl = []
+
+        def in_names(node):
+            if isinstance(node, str) and node in by_name:
+                decl.append(node)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    in_names(v)
+            elif isinstance(node, dict):
+                for v in node.values():
+                    in_names(v)
+
+        in_names(cfg["config"].get("input_layers", []))
+        if set(decl) == set(inputs) and len(decl) == len(inputs):
+            inputs = decl
 
     out_spec = cfg["config"].get("output_layers", [])
     outs = []
@@ -201,9 +264,17 @@ def _graph_meta(cfg):
         topo.append(name)
 
     visit(outs[0])
+    # unreached InputLayers must still be declared (an input the output
+    # does not depend on would silently misalign the slice map)
+    for n in inputs:
+        if state.get(n) != 2:
+            raise ValueError(
+                f"InputLayer {n!r} does not reach the output — remove it "
+                "or rewire the graph")
     meta = [(n, by_name[n]["class_name"], by_name[n].get("config", {}),
              tuple(parents(by_name[n]))) for n in topo]
-    return meta, inputs[0], outs[0]
+    return meta, [(n, _input_width(by_name[n].get("config", {})))
+                  for n in inputs], outs[0]
 
 
 def _parse_graph(cfg, weights):
@@ -212,15 +283,37 @@ def _parse_graph(cfg, weights):
     InputLayer/Dense/Activation/Dropout + Add/Subtract/Average/Multiply/
     Concatenate.  The reference executed arbitrary Keras live
     (``model/tensorflow.py:39-51``); this reproduces the common branching
-    architectures weights-only (VERDICT r2 item 6)."""
+    architectures weights-only (VERDICT r2 item 6).  Round 4 additions
+    (VERDICT r3 #5): BatchNormalization (folded to a per-feature affine
+    at import), LayerNormalization (runtime op), and MULTI-INPUT graphs —
+    each InputLayer maps onto its slice of the concatenated
+    ``[x | u | tvp | p]`` feature block, in the model's input declaration
+    order, with widths from the declared input shapes."""
+    import jax
     import jax.numpy as jnp
 
-    meta, in_name, out_name = _graph_meta(cfg)
+    meta, inputs, out_name = _graph_meta(cfg)
+    # input slice map: consecutive slices of the feature block, in input
+    # declaration order; single-input graphs take the whole block
+    slices, total_w = {}, None
+    if len(inputs) == 1:
+        slices[inputs[0][0]] = None
+    else:
+        off = 0
+        for in_name, w in inputs:
+            if w is None:
+                raise ValueError(
+                    f"multi-input graph: InputLayer {in_name!r} declares "
+                    "no static feature width (batch_input_shape) — "
+                    "cannot map inputs onto the [x|u|tvp|p] block")
+            slices[in_name] = (off, w)
+            off += w
+        total_w = off
     params = {}
     specs = []
     for name, cls, lcfg, pars in meta:
         if cls == "InputLayer":
-            specs.append((name, "input", None, pars))
+            specs.append((name, "input", slices[name], pars))
         elif cls in _SKIP_LAYERS:
             if len(pars) != 1:
                 raise ValueError(f"{cls} layer {name!r} must have exactly "
@@ -238,11 +331,49 @@ def _parse_graph(cfg, weights):
                 raise ValueError(f"Dense layer {name!r} must have exactly "
                                  "one input")
             grp = _layer_weights(weights, name)
-            params[name] = {"w": jnp.asarray(np.asarray(grp["kernel:0"])),
-                            "b": jnp.asarray(np.asarray(grp["bias:0"]))}
+            params[name] = {"w": jnp.asarray(_var(grp, "kernel")),
+                            "b": jnp.asarray(_var(grp, "bias"))}
             a = lcfg.get("activation", "linear")
             _act_fn(a)
             specs.append((name, "dense", a, pars))
+        elif cls == "BatchNormalization":
+            # Inference-time BatchNorm is a fixed per-feature affine
+            # (moving statistics): fold γ/β/μ/σ² into one scale+shift at
+            # import — XLA then fuses it into the adjacent matmul
+            # (VERDICT r3 #5; the reference executed BN live through TF,
+            # model/tensorflow.py:39-51).
+            if len(pars) != 1:
+                raise ValueError(f"{cls} layer {name!r} must have exactly "
+                                 "one input")
+            _check_norm_axis(cls, name, lcfg)
+            grp = _layer_weights(weights, name, var="moving_mean")
+            mean = _var(grp, "moving_mean")
+            var_ = _var(grp, "moving_variance")
+            gamma = _var(grp, "gamma",
+                         default=np.ones_like(mean))   # scale=False
+            beta = _var(grp, "beta",
+                        default=np.zeros_like(mean))   # center=False
+            eps = float(lcfg.get("epsilon", 1e-3))
+            scale = gamma / np.sqrt(var_ + eps)
+            params[name] = {"scale": jnp.asarray(scale),
+                            "shift": jnp.asarray(beta - mean * scale)}
+            specs.append((name, "affine", None, pars))
+        elif cls == "LayerNormalization":
+            # LayerNorm normalises per SAMPLE at inference (no moving
+            # stats) so it cannot fold — it runs as a graph op.
+            if len(pars) != 1:
+                raise ValueError(f"{cls} layer {name!r} must have exactly "
+                                 "one input")
+            _check_norm_axis(cls, name, lcfg)
+            grp = _layer_weights(weights, name, var="gamma")
+            gamma, beta = None, None
+            if lcfg.get("scale", True):
+                gamma = jnp.asarray(_var(grp, "gamma"))
+            if lcfg.get("center", True):
+                beta = jnp.asarray(_var(grp, "beta"))
+            params[name] = {"gamma": gamma, "beta": beta}
+            specs.append((name, "lnorm", float(lcfg.get("epsilon", 1e-3)),
+                          pars))
         elif cls in _MERGE_LAYERS:
             if len(pars) < 2:
                 raise ValueError(f"merge layer {name!r} needs >= 2 inputs")
@@ -251,13 +382,20 @@ def _parse_graph(cfg, weights):
         else:
             raise ValueError(
                 f"unsupported layer {cls!r} in graph import (supported: "
-                f"Dense/Activation/Dropout + {'/'.join(_MERGE_LAYERS)})")
+                f"Dense/Activation/Dropout/BatchNormalization/"
+                f"LayerNormalization + {'/'.join(_MERGE_LAYERS)})")
 
     def apply(prm, feats, cdt):
+        if total_w is not None and feats.shape[-1] != total_w:
+            raise ValueError(
+                f"multi-input graph declares {total_w} total input "
+                f"features but the [x|u|tvp|p] block has "
+                f"{feats.shape[-1]}")
         vals = {}
         for name, kind, extra, pars in specs:
             if kind == "input":
-                vals[name] = feats
+                vals[name] = (feats if extra is None
+                              else feats[:, extra[0]: extra[0] + extra[1]])
             elif kind == "identity":
                 vals[name] = vals[pars[0]]
             elif kind == "act":
@@ -268,6 +406,19 @@ def _parse_graph(cfg, weights):
                              preferred_element_type=jnp.float32)
                      + prm[name]["b"])
                 vals[name] = _act_fn(extra)(z)
+            elif kind == "affine":      # folded BatchNormalization
+                vals[name] = (vals[pars[0]] * prm[name]["scale"]
+                              + prm[name]["shift"])
+            elif kind == "lnorm":
+                v = vals[pars[0]]
+                mean = jnp.mean(v, axis=-1, keepdims=True)
+                var_ = jnp.var(v, axis=-1, keepdims=True)
+                v = (v - mean) * jax.lax.rsqrt(var_ + extra)
+                if prm[name]["gamma"] is not None:
+                    v = v * prm[name]["gamma"]
+                if prm[name]["beta"] is not None:
+                    v = v + prm[name]["beta"]
+                vals[name] = v
             elif kind == "add":
                 v = vals[pars[0]]
                 for pn in pars[1:]:
@@ -294,17 +445,35 @@ def _parse_graph(cfg, weights):
     return apply, params
 
 
-def _layer_weights(weights, name):
-    """Weight group for a layer — tf.keras nests it as
-    ``model_weights/<name>/<name>`` but some writers flatten it."""
+def _var(grp, name, default=None):
+    """Read a variable from a layer weight group — tf.keras 2.x writes
+    ``<name>:0``, Keras 3's legacy-h5 writer drops the ``:0``."""
+    for k in (name + ":0", name):
+        if k in grp:
+            return np.asarray(grp[k])
+    if default is not None:
+        return default
+    raise KeyError(f"variable {name!r} not in weight group "
+                   f"(has {list(grp.keys())})")
+
+
+def _layer_weights(weights, name, var="kernel"):
+    """Weight group for a layer — descends the writer-specific nesting:
+    tf2 legacy ``<name>/<name>/<var>:0``, Keras 3 functional
+    ``<name>/<name>/<var>``, Keras 3 Sequential
+    ``<name>/<model>/<name>/<var>`` (one extra model-name level)."""
     grp = weights[name]
-    if "kernel:0" in grp:
-        return grp
-    if name in grp:
-        return grp[name]
-    subs = list(grp.keys())
-    if len(subs) == 1:
-        return grp[subs[0]]
+    for _ in range(4):
+        if var + ":0" in grp or var in grp:
+            return grp
+        if name in grp:
+            grp = grp[name]
+            continue
+        subs = list(grp.keys())
+        if len(subs) == 1:
+            grp = grp[subs[0]]
+            continue
+        break
     raise ValueError(f"cannot locate weights for layer {name!r}")
 
 
@@ -336,8 +505,8 @@ def _parse_dense_stack(cfg, weights):
         acts.append(_KERAS_ACTS[a])
         name = l["config"]["name"]
         grp = _layer_weights(weights, name)
-        params.append({"w": jnp.asarray(np.asarray(grp["kernel:0"])),
-                       "b": jnp.asarray(np.asarray(grp["bias:0"]))})
+        params.append({"w": jnp.asarray(_var(grp, "kernel")),
+                       "b": jnp.asarray(_var(grp, "bias"))})
     if not params:
         raise ValueError("no Dense layers found in h5 model config")
     return params, acts
@@ -360,12 +529,16 @@ def load_keras_h5(path: str, x_dim: int, u_dim: int, p_dim: int = 0,
         try:
             params, acts = _parse_dense_stack(cfg, f["model_weights"])
             graph = None
-        except ValueError:
-            # branching Functional graph (skip connections / merge
-            # layers): fall through to the graph interpreter
-            if cfg.get("class_name") not in ("Functional", "Model"):
-                raise
-            graph, params = _parse_graph(cfg, f["model_weights"])
+        except ValueError as stack_err:
+            # anything beyond a plain Dense stack (branching graphs,
+            # merge layers, BatchNorm/LayerNorm, multi-input models —
+            # Sequential included) falls through to the graph interpreter
+            try:
+                graph, params = _parse_graph(cfg, f["model_weights"])
+            except ValueError as graph_err:
+                raise ValueError(
+                    f"{graph_err} (Dense-stack parse failed first: "
+                    f"{stack_err})") from graph_err
 
     name = f"keras:{path.rsplit('/', 1)[-1]}"
     if graph is None:
@@ -508,8 +681,8 @@ def load_keras_lstm_h5(path: str, x_dim: int, u_dim: int,
                                          l["config"]["name"], "LSTM")
                  for l in lstm_cfgs]
         dgrp = _layer_weights(weights, dense_cfgs[0]["config"]["name"])
-        wo = np.asarray(dgrp["kernel:0"])
-        bo = np.asarray(dgrp["bias:0"])
+        wo = _var(dgrp, "kernel")
+        bo = _var(dgrp, "bias")
 
     hiddens = [wr.shape[0] for (_, wr, _) in cells]
     in_dims = [x_dim + u_dim] + hiddens[:-1]
@@ -546,15 +719,14 @@ def _recurrent_cell_weights(weights, lname, kind):
     """(kernel, recurrent_kernel, bias) for a recurrent layer — tf.keras
     nests the vars one level deeper: <name>/<name>/{lstm,gru}_cell."""
     grp = weights[lname]
-    while "kernel:0" not in grp:
+    while "kernel:0" not in grp and "kernel" not in grp:
         subs = [k for k in grp.keys()]
         if len(subs) != 1:
             raise ValueError(
                 f"cannot locate {kind} weights under {lname}")
         grp = grp[subs[0]]
-    return (np.asarray(grp["kernel:0"]),
-            np.asarray(grp["recurrent_kernel:0"]),
-            np.asarray(grp["bias:0"]))
+    return (_var(grp, "kernel"), _var(grp, "recurrent_kernel"),
+            _var(grp, "bias"))
 
 
 def load_keras_gru_h5(path: str, x_dim: int, u_dim: int,
@@ -584,8 +756,8 @@ def load_keras_gru_h5(path: str, x_dim: int, u_dim: int,
             f["model_weights"], gru_cfgs[0]["config"]["name"], "GRU")
         dgrp = _layer_weights(f["model_weights"],
                               dense_cfgs[0]["config"]["name"])
-        wo = np.asarray(dgrp["kernel:0"])
-        bo = np.asarray(dgrp["bias:0"])
+        wo = _var(dgrp, "kernel")
+        bo = _var(dgrp, "bias")
         reset_after = bool(gru_cfgs[0]["config"].get("reset_after",
                                                      b.ndim == 2))
 
