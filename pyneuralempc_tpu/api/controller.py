@@ -310,7 +310,8 @@ class NMPC:
     # ---- batched API ----
 
     def next_batch(self, x0s, p=None, tvp=None, params=None,
-                   carry: Optional[WarmStart] = None
+                   carry: Optional[WarmStart] = None,
+                   batch_chunk: Optional[int] = None
                    ) -> Tuple[WarmStart, NMPCResult]:
         """Solve a batch of MPC problems in one compiled program.
 
@@ -319,9 +320,33 @@ class NMPC:
         carry a leading batch axis matching B.  Returns the batched
         warm-start carry (pass it back in for receding-horizon use) and a
         batched :class:`NMPCResult`.
+
+        ``batch_chunk``: solve the batch in chunks of this size — one
+        async device dispatch per chunk of a single compiled
+        chunk-width program — instead of one monolithic vmap.  This is
+        the out-of-envelope escape hatch: problems whose dims fall
+        outside the Pallas kernel envelope (``kernel_plan``) ride the
+        XLA scan sweep, and the resulting long-running fleet-width
+        program dies with a TPU device error (fleet_tpu6_noker.log;
+        measured: the SAME per-chunk program succeeds at B=1024 total
+        and faults at B≥2048 whether fused monolithic, lax.map'd, or
+        sweep-chunked — a per-dispatch execution budget, so the split
+        must be at the DISPATCH level).  Selected AUTOMATICALLY for such
+        problems on TPU (``tools/fleet_wide_tpu.log``: nu=10 fleet at
+        B=4096 solves chunked); pass explicitly to override, or 0 to
+        force monolithic.
         """
         x0s = jnp.asarray(x0s)
         B = x0s.shape[0]
+        if batch_chunk is None:
+            batch_chunk = self._auto_batch_chunk(B)
+        if batch_chunk and B > batch_chunk:
+            if B % batch_chunk:
+                raise ValueError(
+                    f"batch {B} not divisible by batch_chunk "
+                    f"{batch_chunk}")
+        else:
+            batch_chunk = 0
         rt = runtime(x0s, p, tvp, params)
         axes = {"x0": 0, "p": _baxis(p, 1), "tvp": _baxis(tvp, 2),
                 "params": _baxis_tree(params, B)}
@@ -336,13 +361,60 @@ class NMPC:
                 return self._step(c, rt_)
         key = (warm, axes["p"], axes["tvp"], axes["params"])
         if key not in self._batch_cache:
-            if warm:
-                self._batch_cache[key] = jax.jit(
-                    jax.vmap(self._warm_step, in_axes=(0, axes)))
+            step = self._warm_step if warm else cold_step
+            self._batch_cache[key] = jax.jit(
+                jax.vmap(step, in_axes=(0, axes)))
+        fn = self._batch_cache[key]
+        lead = carry if warm else x0s
+        if not batch_chunk:
+            return fn(lead, rt)
+        # Host-level chunking: the SAME compiled chunk-width program,
+        # dispatched once per chunk (async — dispatches pipeline), then
+        # one on-device concatenate.  Device-side fusions of the chunks
+        # (one big vmap, lax.map over chunks, sweep-level chunking) all
+        # die at B >= 2048 on this workload class while their per-chunk
+        # program succeeds standalone — the budget is per dispatch.
+        tm = jax.tree_util.tree_map
+        batched_keys = tuple(k2 for k2, ax in axes.items() if ax == 0)
+        outs = []
+        for i in range(B // batch_chunk):
+            sl = slice(i * batch_chunk, (i + 1) * batch_chunk)
+            rt_i = dict(rt)
+            for k2 in batched_keys:
+                rt_i[k2] = tm(lambda a: a[sl], rt[k2])
+            outs.append(fn(tm(lambda a, s=sl: a[s], lead), rt_i))
+        return tm(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+    def _auto_batch_chunk(self, B: int) -> int:
+        """Out-of-envelope fleets on TPU default to chunked solves (the
+        monolithic program faults the device — VERDICT r3 #1)."""
+        try:
+            from ..ops.pallas.riccati_kernel import _scan_chunk, kernel_plan
+        except Exception:
+            return 0
+        if jax.default_backend() != "tpu" or self.kkt_backend != "riccati":
+            return 0
+        dev = jax.config.jax_default_device
+        plat = dev if isinstance(dev, str) else getattr(dev, "platform",
+                                                        None)
+        if plat not in (None, "tpu"):
+            return 0
+        spec = self.spec
+        r_eq, q = 0, 0
+        for pc in spec.path_constraints:
+            if isinstance(pc, StageConstraint):
+                from ..core.problem import EQ_TYPE
+                r_eq += int((pc.row_types() == EQ_TYPE).sum())
             else:
-                self._batch_cache[key] = jax.jit(
-                    jax.vmap(cold_step, in_axes=(0, axes)))
-        return self._batch_cache[key](carry if warm else x0s, rt)
+                q += pc.dim
+        plan = kernel_plan(spec.H, spec.dims.x, spec.dims.u,
+                           R=1 + q, r=r_eq, batch=B)
+        if plan["path"] != "scan_chunked":
+            return 0
+        chunk = _scan_chunk()
+        while chunk > 1 and B % chunk:
+            chunk //= 2
+        return chunk if B > chunk else 0
 
     def next_multi_start(self, x0, n_starts: int = 8, noise: float = 0.3,
                          p=None, tvp=None, params=None, key=None

@@ -306,6 +306,21 @@ def _from_tiles(x, B, shape):
     return x.reshape(rows, B).T.reshape((B,) + shape)
 
 
+def _fused_fits(H: int, nx: int, nu: int) -> bool:
+    """VMEM fitness of the fused (n_chunks==1) plain kernel, which keeps
+    EVERYTHING resident at once: all stage inputs, all outputs, the gain
+    scratch, and the carry — unlike the streamed path's double-buffered
+    per-chunk budget that _pick_chunk uses (ADVICE r3: the two estimates
+    differ, so the fused path needs its own check or it can OOM at
+    compile time near the boundary)."""
+    ns = nx + nu
+    ins = H * (nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu) + 1
+    outs = H * (2 * nx + nu) + 1
+    gains = H * (nu * nx + nu + nx * nx + nx + nx * nu)
+    carry = nx * nx + 2 * nx + 1
+    return (ins + outs + gains + carry) * 4096 < _VMEM_BUDGET
+
+
 def _pick_chunk(H: int, nx: int, nu: int) -> int:
     """Stages per grid step: as many as double-buffered VMEM allows (fewer
     grid steps and bigger DMAs for small stage dims, e.g. the whole sweep
@@ -356,7 +371,7 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
     def hbm(rows):
         return jax.ShapeDtypeStruct((rows, Gt, 8, 128), f32)
 
-    if n_chunks == 1:
+    if n_chunks == 1 and _fused_fits(H, nx, nu):
         # Whole sweep resident: fuse both directions into ONE kernel so
         # the per-stage gain tensors never round-trip through HBM (they
         # stay in VMEM scratch) — the fast path for small stage dims.
@@ -515,6 +530,21 @@ def _kernel_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
     # per retry level, R·nx² rhs propagation) compile-time sane
     return (nu <= 8 and r <= nu and R <= 33
             and tiles * 4096 < _VMEM_BUDGET)
+
+
+def _fused_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
+    """VMEM fitness of the fused general kernel: unlike the streamed
+    budget in _pick_chunk_general (double-buffered backward blocks), the
+    fused kernel ALSO keeps the forward outputs (dX/dU/dLam/dNu,
+    H·R·(2nx+nu+r) tiles) and Jx resident (ADVICE r3)."""
+    ins = (H * (nx * nx + nx * nu + 2 * (nx + nu) ** 2
+                + R * (2 * nx + nu + r) + r * (nx + nu)) + 2
+           + (H * r * nx if r > 0 else 0))                    # + Jx
+    outs = H * R * (2 * nx + nu + r) + 1
+    gains = H * (nu * nx + R * nu + nx * nx + R * nx + nx * nu
+                 + (r * nx + R * r if r > 0 else 0))
+    carry = nx * nx + 2 * R * nx + 1
+    return (ins + outs + gains + carry) * 4096 < _VMEM_BUDGET
 
 
 def _pick_chunk_general(H: int, nx: int, nu: int, R: int, r: int) -> int:
@@ -810,7 +840,7 @@ def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
     def hbm(rows):
         return jax.ShapeDtypeStruct((rows, Gt, 8, 128), f32)
 
-    if n_chunks == 1:
+    if n_chunks == 1 and _fused_fits_general(H, nx, nu, R, r):
         # Whole sweep resident: fuse both directions into ONE kernel so
         # the per-stage gain tensors (K, k, P̄, p̄, Mxu, and the EQ gains
         # Knu, knu) never round-trip through HBM — they live in VMEM
@@ -1061,9 +1091,119 @@ def _riccati_general_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_,
             args[0], args[1], args[2], args[3], args[4], args[5], args[6],
             delta_b, dc_b, eq[0] if r else None, eq[1] if r else None,
             eq[2] if r else None, eq[3] if r else None)
+    elif on_tpu and axis_size > _scan_chunk():
+        _warn_out_of_envelope("general", H, nx, nu, R, r, axis_size,
+                              _scan_chunk())
+        out = _chunked_scan_vmap(_ref_sweep_general,
+                                 (*args, delta_b, dc_b, *eq), axis_size)
     else:
         out = jax.vmap(_ref_sweep_general)(*args, delta_b, dc_b, *eq)
     return out, (True, True, True, True, True)
+
+
+# ---- out-of-envelope fallback: chunked scan dispatch ----
+#
+# Shapes outside the kernel envelope (nu > 8, r > nu, R > 33, VMEM
+# overflow) used to fall to a MONOLITHIC vmapped XLA scan, which faults
+# the TPU at fleet batch sizes (fleet_tpu6_noker.log: B=4096, H=50,
+# nx=12 — runtime device fault).  The fallback now chunks the batch:
+# lax.map over sub-batches of the vmapped scan, so the compiled scan body
+# stays at a size the TPU executes reliably.  Slower than the kernels,
+# but an out-of-envelope fleet SOLVES instead of dying (VERDICT r3 #1).
+
+_SCAN_CHUNK = 512   # sub-batch size; survival verified on hardware at
+                    # nu=10 quadrotor-class size (tools/fleet_wide_tpu.log);
+                    # override with NEMPC_SCAN_CHUNK
+
+
+def _scan_chunk() -> int:
+    import os
+    try:
+        return max(1, int(os.environ.get("NEMPC_SCAN_CHUNK", _SCAN_CHUNK)))
+    except ValueError:
+        return _SCAN_CHUNK
+
+
+def _chunked_scan_vmap(fn, args, axis_size):
+    """``vmap(fn)`` over the batch in chunks via ``lax.map``."""
+    chunk = min(_scan_chunk(), axis_size)
+    n_chunks = -(-axis_size // chunk)
+    pad = n_chunks * chunk - axis_size
+
+    def pad_arr(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+
+    resh = tuple(pad_arr(x).reshape((n_chunks, chunk) + x.shape[1:])
+                 for x in args)
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), resh)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((n_chunks * chunk,) + o.shape[2:])[:axis_size],
+        out)
+
+
+def kernel_plan(H: int, nx: int, nu: int, R: int = 1, r: int = 0,
+                batch: int | None = None, on_tpu: bool = True) -> dict:
+    """Pre-dispatch envelope check: which KKT-sweep path a problem of
+    these dimensions takes, and why (VERDICT r3 #1: the path and its
+    envelope must be inspectable before a fleet is launched).
+
+    Returns ``{"path": ..., "reason": ..., "chunk": ...}`` where path is
+    one of ``pallas_fused`` / ``pallas_streamed`` / ``scan_chunked`` /
+    ``scan``.  ``R``/``r`` follow the general sweep's meaning (rhs count
+    = 1 + border rows; stage equality rows); ``R=1, r=0`` is the plain
+    fast path.
+    """
+    general = (R, r) != (1, 0)
+    fits = (_kernel_fits_general(H, nx, nu, R, r) if general
+            else _kernel_fits(H, nx, nu))
+    if _HAS_PALLAS and fits and on_tpu:
+        if general:
+            ch = _pick_chunk_general(H, nx, nu, R, r)
+            fused = ch == H and _fused_fits_general(H, nx, nu, R, r)
+        else:
+            ch = _pick_chunk(H, nx, nu)
+            fused = ch == H and _fused_fits(H, nx, nu)
+        return {"path": "pallas_fused" if fused else "pallas_streamed",
+                "reason": ("whole sweep VMEM-resident" if fused else
+                           f"streamed at {ch} stage(s) per grid step"),
+                "chunk": None}
+    reasons = []
+    if nu > 8:
+        reasons.append(f"nu={nu} > 8 (per-lane Cholesky unroll cap)")
+    if general and r > nu:
+        reasons.append(f"r={r} stage-EQ rows > nu={nu}")
+    if general and R > 33:
+        reasons.append(f"R={R} right-hand sides > 33")
+    if not reasons:
+        if not on_tpu or not _HAS_PALLAS:
+            reasons.append("not on a TPU backend")
+        else:
+            reasons.append("per-stage working set exceeds the VMEM budget")
+    reason = "; ".join(reasons)
+    if on_tpu and _HAS_PALLAS and batch is not None \
+            and batch > _scan_chunk():
+        return {"path": "scan_chunked",
+                "reason": reason + " — batch chunked to keep the XLA scan "
+                "inside its TPU-survivable size (the monolithic vmapped "
+                "scan faults at fleet batch, fleet_tpu6_noker.log)",
+                "chunk": _scan_chunk()}
+    return {"path": "scan", "reason": reason, "chunk": None}
+
+
+def _warn_out_of_envelope(kind, H, nx, nu, R, r, axis_size, chunk):
+    import warnings
+    plan = kernel_plan(H, nx, nu, R, r, batch=axis_size)
+    warnings.warn(
+        f"Riccati {kind} sweep (H={H}, nx={nx}, nu={nu}, R={R}, r={r}, "
+        f"batch={axis_size}) is outside the Pallas kernel envelope "
+        f"({plan['reason']}); dispatching the XLA scan in batch chunks "
+        f"of {chunk} (expect ~10-50x lower sweep throughput than the "
+        "kernel path; see "
+        "pyneuralempc_tpu.ops.pallas.riccati_kernel.kernel_plan)",
+        stacklevel=2)
 
 
 # ---- custom_vmap binding ----
@@ -1107,6 +1247,15 @@ def _riccati_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c,
                   and os.environ.get("NEMPC_DISABLE_PALLAS") != "1")
     if use_pallas:
         out = riccati_sweep_pallas(*args, delta_b)
+    elif on_tpu and axis_size > _scan_chunk():
+        # out-of-envelope fleet: chunked scan dispatch (the monolithic
+        # vmapped scan faults the TPU at this batch size).  Applies with
+        # NEMPC_DISABLE_PALLAS=1 too — that is exactly when a fleet
+        # would otherwise hit the fault.  NEMPC_SCAN_CHUNK=<huge>
+        # restores the monolithic scan if ever needed.
+        _warn_out_of_envelope("plain", H, nx, nu, 1, 0, axis_size,
+                              _scan_chunk())
+        out = _chunked_scan_vmap(_ref_sweep, (*args, delta_b), axis_size)
     else:
         out = jax.vmap(_ref_sweep)(*args, delta_b)
     return out, (True, True, True, True)

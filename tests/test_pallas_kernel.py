@@ -158,3 +158,38 @@ def test_kernel_nu3_interpret():
     for r, o in zip(ref[:3], out[:3]):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
     assert bool(jnp.all(ref[3] == out[3]))
+
+
+def test_chunked_scan_vmap_matches_vmap():
+    """Out-of-envelope fleet fallback: lax.map over batch chunks of the
+    vmapped scan must reproduce the monolithic vmap exactly, including a
+    non-divisible batch (pad rows are dropped)."""
+    from pyneuralempc_tpu.ops.pallas.riccati_kernel import (
+        _chunked_scan_vmap, _ref_sweep)
+    args = make_data(B=7, H=4, nx=3, nu=2, seed=5)
+    ref = jax.vmap(riccati_sweep_ref)(*args)
+    import os
+    os.environ["NEMPC_SCAN_CHUNK"] = "3"       # 7 -> chunks of 3 (pad 2)
+    try:
+        out = jax.jit(
+            lambda *a: _chunked_scan_vmap(_ref_sweep, a, 7))(*args)
+    finally:
+        del os.environ["NEMPC_SCAN_CHUNK"]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.0)
+
+
+def test_kernel_plan_paths():
+    """Pre-dispatch envelope check names the path and the reason."""
+    from pyneuralempc_tpu.ops.pallas.riccati_kernel import kernel_plan
+    assert kernel_plan(20, 2, 1)["path"] == "pallas_fused"
+    assert kernel_plan(50, 12, 4)["path"] == "pallas_streamed"
+    p = kernel_plan(50, 12, 10, batch=4096)    # nu cap exceeded, fleet
+    assert p["path"] == "scan_chunked" and p["chunk"] >= 1
+    assert "nu=10" in p["reason"]
+    assert kernel_plan(50, 12, 10, batch=64)["path"] == "scan"
+    assert kernel_plan(20, 2, 1, on_tpu=False)["path"] == "scan"
+    # general envelope: r > nu and R > 33 both name their cap
+    assert "r=3" in kernel_plan(10, 4, 2, R=1, r=3)["reason"]
+    assert "R=40" in kernel_plan(10, 4, 2, R=40, r=0)["reason"]
+    assert kernel_plan(30, 4, 2, R=5, r=1)["path"].startswith("pallas")
