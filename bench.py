@@ -76,13 +76,30 @@ def main():
     # Plain-callable cost (the reference's native idiom): the structure
     # probe certifies it stage-separable and routes it to the O(H)
     # Riccati backend automatically (core/structure.py).
-    cost = lambda x, u: 1.1 * jnp.sum(u)  # noqa: E731
+    #
+    # Tie-breaking regularizer (VERDICT r3 #3): the raw economic cost
+    # 1.1·Σu is LINEAR in u, so on arcs where the feed constraint is
+    # slack the optimum is a degenerate valley — "the optimal u" is only
+    # defined up to the valley's f32 noise width (measured golden
+    # self-scatter ~2.8e-4), and solver-vs-golden agreement saturates at
+    # that scatter no matter how well both solve.  A tiny strictly-convex
+    # u² term applied to BOTH sides (ours and the goldens solve the same
+    # NLP) makes the optimum unique without changing the economics
+    # (REG·Σu² <= 3e-5 vs objective ~10).  Sweep log: tools/audit_reg.log.
+    REG = float(os.environ.get("BENCH_TIE_REG", 1e-4))
+    cost = lambda x, u: 1.1 * jnp.sum(u) + REG * jnp.sum(u * u)  # noqa: E731
     box = nempc.DomainConstraint(
         states_constraint=[[-1.0, 1.0], [-1.0, 0.35]],
         control_constraint=[[0.0, 1.2]])
+    POLISH = int(os.environ.get("BENCH_POLISH", 5))
+    POLISH_MU = float(os.environ.get("BENCH_POLISH_MU", 1e-9))
+    WARM_KZ = float(os.environ.get("BENCH_WARM_KZ", 1e2))
+    WARM_MU = float(os.environ.get("BENCH_WARM_MU", 3e-4))
     mpc = nempc.NMPC(surrogate, cost, [box], H=H, DT=DT, integrator="rk4",
-                     config=nempc.IPConfig(tol=1e-5, polish_iters=5,
-                                           polish_mu=1e-8))
+                     config=nempc.IPConfig(tol=1e-5, polish_iters=POLISH,
+                                           polish_mu=POLISH_MU,
+                                           warm_z_corridor=WARM_KZ,
+                                           warm_mu=WARM_MU))
     # The 1e-4 control-match criterion is met by POLISH, not by a tighter
     # tol: the audit gap is barrier bias at the μ floor (tol/10), so five
     # fixed centering iterations at μ=1e-8 strip it (measured worst
@@ -137,6 +154,7 @@ def main():
         from pyneuralempc_tpu.utils.native import refine_kkt_point
 
         N_AUDIT = int(os.environ.get("BENCH_AUDIT_N", 16))
+        AUDIT_BUDGET = float(os.environ.get("BENCH_AUDIT_BUDGET", 240.0))
         nlp = mpc.nlp
         worst, worst_obj, worst_hw, n_ok = 0.0, -float("inf"), 0.0, 0
         scatter, worst_idx = 0.0, -1
@@ -227,7 +245,7 @@ def main():
                 return w_ref, rt_i, as32
 
             for i in range(len(x0s_a)):
-                if time.perf_counter() - audit_t0 > 240.0:
+                if time.perf_counter() - audit_t0 > AUDIT_BUDGET:
                     log(f"accuracy audit truncated after {i} problems "
                         f"(time)")
                     break
@@ -263,7 +281,7 @@ def main():
                                    np.asarray(colds[worst_idx],
                                               np.float64))
                 for seed in (7, 8, 9):
-                    if time.perf_counter() - audit_t0 > 300.0:
+                    if time.perf_counter() - audit_t0 > AUDIT_BUDGET + 60.0:
                         break
                     w_j = np.asarray(colds[worst_idx], np.float64)
                     rj = np.random.default_rng(seed)

@@ -131,6 +131,7 @@ def make_differentiable_solver(nlp: NLP, config: IPConfig = IPConfig(),
                         converged=res.converged, iterations=res.iterations,
                         kkt_error=res.kkt_error,
                         objective=nlp.objective(w_star, rt),
-                        theta=res.theta, feasible=res.feasible)
+                        theta=res.theta, feasible=res.feasible,
+                        zl_warm=res.zl_warm, zu_warm=res.zu_warm)
 
     return solve

@@ -172,6 +172,18 @@ class IPConfig:
                                    # ~(μ_polish/μ_floor)×.
     polish_mu: float = 1e-8   # matches the benchmarked configuration
                                # ("5 cheap polish steps at μ=1e-8")
+    warm_z_corridor: float = 1e2   # warm-start bound-dual re-centering
+                               # (Ipopt's warm_start_mult_* push): carried
+                               # duals are clipped into
+                               # [μ/(κ·s), κ·μ/s] for the RESUME μ.  A
+                               # deeply polished carry (polish_mu ~1e-9)
+                               # leaves z ~μ_polish/s — 5+ orders below
+                               # the re-opened barrier's central path at
+                               # warm_mu, and the solver burned ~1.5 extra
+                               # warm iterations per re-plan pumping them
+                               # back up (measured round 4: warm mean 3.5
+                               # → 4.9 when polish went 5@1e-8 →
+                               # 10@1e-9).  0 disables.
     polish_fresh: bool = False  # re-derive the KKT stage blocks at the
                                # converged point before polishing.  The
                                # default reuses the blocks carried from the
@@ -259,6 +271,13 @@ class IPResult(NamedTuple):
     theta: Any        # final max constraint violation ‖C(w)‖∞
     feasible: Any     # bool: theta <= tol
     restorations: Any = 0  # iterations spent in the restoration phase
+    zl_warm: Any = None    # PRE-polish bound duals: the warm-start carry
+    zu_warm: Any = None    # should resume from the μ~tol/10 path, not the
+                           # polish-μ limit (polished z ~μ_polish/s sit
+                           # orders below the re-opened barrier's central
+                           # path and cost warm iterations re-pumping —
+                           # measured round 4).  Equal to zl/zu when no
+                           # polish ran.
 
 
 def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
@@ -331,17 +350,31 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         su = jnp.where(has_ub, jnp.maximum(ub - w, 1e-12), 1.0)
         return sl, su
 
-    def barrier_value(w, rt, mu):
+    def barrier_value(w, rt, mu, strict=True):
         """φ_μ(w); +inf outside the interior (rejects bad LS candidates).
         The interior test uses RAW slacks — the floored ones in slacks()
-        would mask a genuinely outside candidate."""
+        would mask a genuinely outside candidate.  ``strict=False`` skips
+        that rejection and evaluates the barrier on the floored slacks:
+        required for the CURRENT point's φ₀, which can sit exactly ON a
+        bound after the exact clip — a strict φ₀ = _BIG would make merit0
+        vacuous and let the line search accept any finite candidate,
+        including ascent steps, for that iteration (ADVICE r3)."""
         sl, su = slacks(w)
-        ok = (jnp.all(jnp.where(has_lb, w - lb, 1.0) > 0)
-              & jnp.all(jnp.where(has_ub, ub - w, 1.0) > 0))
         logs = (jnp.sum(jnp.where(has_lb, jnp.log(jnp.maximum(sl, 1e-30)), 0.0))
                 + jnp.sum(jnp.where(has_ub, jnp.log(jnp.maximum(su, 1e-30)), 0.0)))
         val = nlp.objective(w, rt) - mu * logs
         val = jnp.where(jnp.isfinite(val), val, _BIG)
+        if not strict:
+            return val
+        # STRICT > 0 for trial candidates: accepting exactly-on-bound
+        # candidates (>= 0 was tried, round 4) lets iterates PARK on
+        # bounds mid-iteration; the resulting floored-slack Σ = z/1e-12
+        # wrecks the KKT conditioning and long-H cold solves collapse
+        # (LV H=512: 2/8 converged with >=, 7/8 with >).  The only
+        # sanctioned on-bound landing is the END-of-iteration exact clip,
+        # which the floored slacks() price correctly.
+        ok = (jnp.all(jnp.where(has_lb, w - lb, 1.0) > 0)
+              & jnp.all(jnp.where(has_ub, ub - w, 1.0) > 0))
         return jnp.where(ok, val, _BIG)
 
     def theta(w, rt):
@@ -394,12 +427,21 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         mu = (jnp.asarray(cfg.mu_init, dtype) if mu0 is None
               else jnp.clip(jnp.asarray(mu0, dtype), cfg.tol / 10.0,
                             cfg.mu_init))
+        if cfg.warm_z_corridor > 0:
+            kz = jnp.asarray(cfg.warm_z_corridor, dtype)
+            recenter = lambda z, s: jnp.clip(z, mu / (kz * s), kz * mu / s)
+        else:
+            recenter = lambda z, s: z
         zl = (jnp.where(has_lb, jnp.clip(mu / sl, 1e-6, 1e6), 0.0)
               if zl0 is None else
-              jnp.where(has_lb, jnp.clip(zl0.astype(dtype), 1e-8, 1e8), 0.0))
+              jnp.where(has_lb,
+                        jnp.clip(recenter(zl0.astype(dtype), sl),
+                                 1e-8, 1e8), 0.0))
         zu = (jnp.where(has_ub, jnp.clip(mu / su, 1e-6, 1e6), 0.0)
               if zu0 is None else
-              jnp.where(has_ub, jnp.clip(zu0.astype(dtype), 1e-8, 1e8), 0.0))
+              jnp.where(has_ub,
+                        jnp.clip(recenter(zu0.astype(dtype), su),
+                                 1e-8, 1e8), 0.0))
         lam = jnp.zeros((m,), dtype) if lam0 is None else lam0.astype(dtype)
         g, c, ATlam, ATc = residuals_at(w, lam, rt)
         err0 = kkt_error(w, lam, zl, zu, g, ATlam, c, 0.0)
@@ -703,6 +745,17 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # Restoration leaves the equality duals untouched — the masked
         # system's Δλ belongs to the restoration subproblem, not the NLP.
         dlam = jnp.where(restore, 0.0, dlam)
+
+        # NOTE on ADVICE r3's fraction-to-boundary concern (an exactly
+        # on-bound coordinate with an OUTWARD direction collapses the ftb
+        # min to ~τ·1e-12/|d|): projecting such components to zero was
+        # tried (round 4) and is WORSE — combined with the strict
+        # interior test it can freeze a member whose bound should
+        # release, and it measured no improvement anywhere.  The case is
+        # rare (the floored-slack Σ makes on-bound directions point
+        # inward) and self-limited: a collapsed step leaves the iterate
+        # unchanged and the growing barrier force flips the direction
+        # inward within an iteration.  Left as-is, documented.
         dzl = jnp.where(has_lb,
                         (mu - corr_l) / sl - zl - (zl / sl) * dw, 0.0)
         dzu = jnp.where(has_ub,
@@ -731,7 +784,11 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
         # exactness while recovering from spikes within a few iterations.
         nu_target = 1.1 * jnp.max(jnp.abs(lam + dlam)) + 1.0
         nu = jnp.clip(jnp.maximum(nu_target, 0.7 * nu), cfg.nu_init, 1e5)
-        phi0 = barrier_value(w, rt, mu)
+        # strict=False: the current point may sit EXACTLY on a bound (the
+        # end-of-iteration clip); its φ₀ must stay finite so Armijo/f-type
+        # acceptance is non-vacuous (ADVICE r3).  Trial candidates below
+        # keep the strict interior rejection.
+        phi0 = barrier_value(w, rt, mu, strict=False)
         merit0 = phi0 + nu * th0
         grad_phi = (g - jnp.where(has_lb, mu / sl, 0.0)
                     + jnp.where(has_ub, mu / su, 0.0))
@@ -796,10 +853,19 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
             # SOC steps are judged against the α_max Armijo budget
             # (they replace the full step, not a backtracked one)
             a_ref = jnp.where(use_soc, alpha_pri_max, a_j)
+            # f32 ulp slack on the merit comparisons (the f32 analog of
+            # Ipopt's 10·ε_mach relative slack): near the optimum the
+            # predicted decrease η·α·D sits below one ulp of
+            # merit0 ~O(10) and a candidate can be rejected on rounding
+            # noise alone.
+            eps_m = 1.2e-6 * (1.0 + jnp.abs(merit0))
+            eps_f = 1.2e-6 * (1.0 + jnp.abs(phi0))
             ok_std = (m_j <= merit0
-                      + cfg.armijo_eta * a_ref * jnp.minimum(D, 0.0))
+                      + cfg.armijo_eta * a_ref * jnp.minimum(D, 0.0)
+                      + eps_m)
             ok_f = (ftype & (th_j <= slack)
-                    & (phi_j <= phi0 + cfg.armijo_eta * a_j * D_phi))
+                    & (phi_j <= phi0 + cfg.armijo_eta * a_j * D_phi
+                       + eps_f))
             # restoration acceptance: pure θ descent (the linearised model
             # predicts θ·(1−α), so Armijo on that), interior via ftb as
             # usual; the barrier/merit play no role.
@@ -955,6 +1021,7 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                 trace = None
                 state = jax.lax.while_loop(cond, lambda s: iteration(s, rt),
                                            state)
+            zl_warm, zu_warm = state.zl, state.zu   # pre-polish duals
             if cfg.polish_iters > 0:
                 # Fixed extra centering at μ = polish_mu: strips the
                 # O(μ_floor) barrier bias from the converged point
@@ -1110,7 +1177,8 @@ def make_solver(nlp: NLP, config: IPConfig = IPConfig(),
                           objective=orig_nlp.objective(state.w, rt),
                           theta=theta_inf,
                           feasible=theta_inf <= cfg.tol,
-                          restorations=state.n_restore)
+                          restorations=state.n_restore,
+                          zl_warm=zl_warm, zu_warm=zu_warm)
         if cfg.record:
             return result, trace
         return result
