@@ -47,6 +47,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Time-last relayout applies up to this stage size (VERDICT r3 #4): the
+# unrolled small-matrix code grows O(n³) per composition level, and the
+# padding win (8/nx on the second-minor tile dim) shrinks as nx grows.
+_TL_MAX = 4
+
 
 def _chol_inv_mul(Q, X):
     """Solve Q Y = X for PD Q via Cholesky; also returns the factor."""
@@ -120,9 +125,277 @@ def _gains(Uh_t, Sh_t, uh_t, A_t, B_t, c_t, Pn, pn):
     return K, k, jnp.all(jnp.isfinite(L))
 
 
+# ---- time-last relayout (VERDICT r3 #4) ----
+#
+# The matrix-last layout above keeps every O(H)-element intermediate of
+# every log₂H composition level as (..., H, nx, nx) tensors whose tiny
+# minor dims pad 32–64× under the TPU's T(8,128) tiling — measured
+# 10–500× slower than the streamed Pallas kernel end-to-end, OOM at
+# fleet×long-H (19.3 GB HBM at B=1024·H=1024·nx=4; docs/SCALING.md).
+# The relayout below stores every stage tensor as nested Python lists of
+# (H,) leaves — (B, H) under vmap, minor-dim-perfect tiles — with all
+# small-matrix algebra unrolled (the Pallas kernels' style), including
+# the nonsymmetric (I + C·J)⁻¹ composition solves as unrolled Gaussian
+# elimination (benign: I + PSD·PSD products have spectrum ≥ 1).
+
+
+def _tl_mat(X):
+    """(H, a, b) -> list[a][b] of (H,) leaves."""
+    return [[X[:, i, j] for j in range(X.shape[2])]
+            for i in range(X.shape[1])]
+
+
+def _tl_vec(x):
+    return [x[:, i] for i in range(x.shape[1])]
+
+
+def _mm(X, Y):
+    return [[sum(X[i][q] * Y[q][j] for q in range(len(Y)))
+             for j in range(len(Y[0]))] for i in range(len(X))]
+
+
+def _mv(X, y):
+    return [sum(X[i][q] * y[q] for q in range(len(y)))
+            for i in range(len(X))]
+
+
+def _mt(X):
+    return [[X[j][i] for j in range(len(X))] for i in range(len(X[0]))]
+
+
+def _madd(X, Y):
+    return [[X[i][j] + Y[i][j] for j in range(len(X[0]))]
+            for i in range(len(X))]
+
+
+def _vadd(x, y):
+    return [a + b for a, b in zip(x, y)]
+
+
+def _vsub(x, y):
+    return [a - b for a, b in zip(x, y)]
+
+
+def _gauss_solve(Q, B_):
+    """Unrolled Gaussian elimination (no pivoting) solving Q X = B for a
+    small n×n list-matrix Q and n×m rhs list B.  A ~singular pivot yields
+    inf/nan which the caller's finite-check ok-mask catches — the same
+    failure semantics as a failed Cholesky in the sequential sweep."""
+    n, m = len(Q), len(B_[0])
+    Q = [row[:] for row in Q]
+    B_ = [row[:] for row in B_]
+    for k in range(n):
+        inv = 1.0 / Q[k][k]
+        for j in range(k + 1, n):
+            Q[k][j] = Q[k][j] * inv
+        for j in range(m):
+            B_[k][j] = B_[k][j] * inv
+        for i in range(k + 1, n):
+            f = Q[i][k]
+            for j in range(k + 1, n):
+                Q[i][j] = Q[i][j] - f * Q[k][j]
+            for j in range(m):
+                B_[i][j] = B_[i][j] - f * B_[k][j]
+    for k in range(n - 1, -1, -1):
+        for i in range(k):
+            f = Q[i][k]
+            for j in range(m):
+                B_[i][j] = B_[i][j] - f * B_[k][j]
+    return B_
+
+
+def _riccati_sweep_pscan_tl(A, B, G, M, m_x, m_u, c, delta):
+    """Time-last pscan: identical math to :func:`riccati_sweep_pscan`,
+    every tensor a nested list of (H,) leaves."""
+    from ..ops.pallas.riccati_kernel import _chol_solve_tiles
+
+    H, nx = c.shape
+    nu = B.shape[2]
+    dtype = A.dtype
+    zero = jnp.zeros((H,), dtype)
+
+    Al, Bl, cl = _tl_mat(A), _tl_mat(B), _tl_vec(c)
+    mxl, mul = _tl_vec(m_x), _tl_vec(m_u)
+    Ml = _tl_mat(M)
+    Gl = _tl_mat(G)
+    for i in range(nx + nu):
+        Ml[i][i] = Ml[i][i] + delta
+    Mxx = [[Ml[i][j] for j in range(nx)] for i in range(nx)]
+    Mxu = [[Ml[i][nx + a] for a in range(nu)] for i in range(nx)]
+    Muu = [[Ml[nx + a][nx + b] for b in range(nu)] for a in range(nu)]
+    Gxx = [[Gl[i][j] for j in range(nx)] for i in range(nx)]
+    Gux = [[Gl[nx + a][j] for j in range(nx)] for a in range(nu)]
+    Guu = [[Gl[nx + a][nx + b] for b in range(nu)] for a in range(nu)]
+
+    At, Bt = _mt(Al), _mt(Bl)
+
+    # ---- canonical LQT stage data (cost on (x_t, u_t)) ----
+    Xh = _madd(Gxx, _mm(_mm(At, Mxx), Al))
+    BtMxu = _mm(Bt, Mxu)
+    Uh = _madd(_madd(_madd(Muu, BtMxu), _mt(BtMxu)),
+               _madd(Guu, _mm(_mm(Bt, Mxx), Bl)))
+    Sh = _madd(Gux, _madd(_mm(_mt(Mxu), Al), _mm(_mm(Bt, Mxx), Al)))
+    Mc_mx = _vadd(_mv(Mxx, cl), mxl)
+    xh = _mv(At, Mc_mx)
+    uh = _vadd(_vadd(_mv(Bt, Mc_mx), _mv(_mt(Mxu), cl)), mul)
+
+    # ---- eliminate the control cross term (one chol, nx+1+nx rhs) ----
+    rhss = [[Sh[a][j] for a in range(nu)] for j in range(nx)]       # Ŝ cols
+    rhss.append([uh[a] for a in range(nu)])                         # û
+    rhss += [[Bt[a][j] for a in range(nu)] for j in range(nx)]      # Bᵀ cols
+    sols, ok_u = _chol_solve_tiles(Uh, rhss, zero)
+    UinvS = [[sols[j][a] for j in range(nx)] for a in range(nu)]
+    Uinvu = [sols[nx][a] for a in range(nu)]
+    UinvBt = [[sols[nx + 1 + j][a] for j in range(nx)]
+              for a in range(nu)]
+    Abar = [[Al[i][j] - sum(Bl[i][a] * UinvS[a][j] for a in range(nu))
+             for j in range(nx)] for i in range(nx)]
+    cbar = [cl[i] - sum(Bl[i][a] * Uinvu[a] for a in range(nu))
+            for i in range(nx)]
+    Cmat = _mm(Bl, UinvBt)
+    ShT = _mt(Sh)
+    Xbar = [[Xh[i][j] - sum(ShT[i][a] * UinvS[a][j] for a in range(nu))
+             for j in range(nx)] for i in range(nx)]
+    xbar = [xh[i] - sum(ShT[i][a] * Uinvu[a] for a in range(nu))
+            for i in range(nx)]
+
+    # ---- backward associative scan over value-map elements ----
+    # The element pytree is PACKED into one (rows, H) leaf: an
+    # associative_scan over ~3nx²+2nx separate (H,) leaves compiles
+    # pathologically on XLA (each level re-slices every leaf; measured:
+    # the unpacked form blew past 16 GB of compile RSS at H=64), while
+    # one packed leaf keeps the scan's data movement to a single
+    # stack/slice per level AND keeps H minor-most for TPU tiling.
+    def pack_e(Am, bv, Cm, nv, Jm):
+        rows = ([Am[i][j] for i in range(nx) for j in range(nx)] + bv
+                + [Cm[i][j] for i in range(nx) for j in range(nx)] + nv
+                + [Jm[i][j] for i in range(nx) for j in range(nx)])
+        return jnp.stack(rows, axis=0)
+
+    def unpack_e(E):
+        k = [0]
+
+        def mat():
+            m = [[E[k[0] + i * nx + j] for j in range(nx)]
+                 for i in range(nx)]
+            k[0] += nx * nx
+            return m
+
+        def vec():
+            v = [E[k[0] + i] for i in range(nx)]
+            k[0] += nx
+            return v
+
+        return mat(), vec(), mat(), vec(), mat()
+
+    def compose(e1, e2):
+        A1, b1, C1, n1, J1 = unpack_e(e1)
+        A2, b2, C2, n2, J2 = unpack_e(e2)
+        CJ = _mm(C1, J2)
+        JC = _mm(J2, C1)
+        for i in range(nx):
+            CJ[i][i] = CJ[i][i] + 1.0
+            JC[i][i] = JC[i][i] + 1.0
+        GA1 = _gauss_solve(CJ, A1)
+        Gb = _gauss_solve(CJ, [[v] for v in _vsub(b1, _mv(C1, n2))])
+        GC1 = _gauss_solve(CJ, C1)
+        Gn = _gauss_solve(JC, [[v] for v in _vadd(n2, _mv(J2, b1))])
+        GJ2 = _gauss_solve(JC, J2)
+        A1t = _mt(A1)
+        A12 = _mm(A2, GA1)
+        b12 = _vadd(_mv(A2, [r[0] for r in Gb]), b2)
+        C12 = _madd(_mm(_mm(A2, GC1), _mt(A2)), C2)
+        n12 = _vadd(n1, _mv(A1t, [r[0] for r in Gn]))
+        J12 = _madd(J1, _mm(_mm(A1t, GJ2), A1))
+        return pack_e(A12, b12, C12, n12, J12)
+
+    E0 = pack_e(Abar, cbar, Cmat, xbar, Xbar)
+    suffix = jax.lax.associative_scan(lambda a, b: compose(b, a), E0,
+                                      reverse=True, axis=1)
+    _, _, _, p_all, P_all = unpack_e(suffix)
+
+    shift = lambda v: jnp.concatenate([v[1:], jnp.zeros((1,), dtype)])
+    Pn = [[shift(P_all[i][j]) for j in range(nx)] for i in range(nx)]
+    pn = [shift(p_all[i]) for i in range(nx)]
+
+    # ---- stage-parallel gains from the original (with-cross) data ----
+    PnB = _mm(Pn, Bl)
+    Quu = _madd(Uh, _mm(Bt, PnB))
+    Qux = _madd(Sh, _mm(Bt, _mm(Pn, Al)))
+    qu = _vadd(uh, _mv(Bt, _vadd(_mv(Pn, cl), pn)))
+    rhss = [[Qux[a][j] for a in range(nu)] for j in range(nx)]
+    rhss.append([qu[a] for a in range(nu)])
+    sols, ok_g = _chol_solve_tiles(Quu, rhss, zero)
+    K = [[-sols[j][a] for j in range(nx)] for a in range(nu)]
+    k = [-sols[nx][a] for a in range(nu)]
+
+    # ---- forward associative scan of affine closed-loop maps ----
+    F = [[Al[i][j] + sum(Bl[i][a] * K[a][j] for a in range(nu))
+          for j in range(nx)] for i in range(nx)]
+    v = [sum(Bl[i][a] * k[a] for a in range(nu)) + cl[i]
+         for i in range(nx)]
+
+    def pack_a(Fm, vv):
+        return jnp.stack([Fm[i][j] for i in range(nx) for j in range(nx)]
+                         + vv, axis=0)
+
+    def unpack_a(E):
+        Fm = [[E[i * nx + j] for j in range(nx)] for i in range(nx)]
+        vv = [E[nx * nx + i] for i in range(nx)]
+        return Fm, vv
+
+    def aff_compose(e1, e2):
+        F1, v1 = unpack_a(e1)
+        F2, v2 = unpack_a(e2)
+        return pack_a(_mm(F2, F1), _vadd(_mv(F2, v1), v2))
+
+    scanned = jax.lax.associative_scan(aff_compose, pack_a(F, v), axis=1)
+    _, vp = unpack_a(scanned)
+    dXl = vp                                       # Δx_{t+1} (Δx_0 = 0)
+    shiftr = lambda v_: jnp.concatenate([jnp.zeros((1,), dtype), v_[:-1]])
+    dx_prev = [shiftr(dXl[i]) for i in range(nx)]
+    dUl = _vadd(_mv(K, dx_prev), k)
+    dLaml = _vadd(_vadd(_mv(_madd(Pn, Mxx), dXl), _mv(Mxu, dUl)),
+                  _vadd(pn, mxl))
+
+    dX = jnp.stack(dXl, axis=1)
+    dU = jnp.stack(dUl, axis=1)
+    dLam = jnp.stack(dLaml, axis=1)
+    # ok: per-stage chol masks are (H,) (1.0/0.0); Gaussian-elim failures
+    # surface as non-finite outputs
+    ok = (jnp.all(ok_u > 0.5) & jnp.all(ok_g > 0.5)
+          & jnp.all(jnp.isfinite(dX)) & jnp.all(jnp.isfinite(dU))
+          & jnp.all(jnp.isfinite(dLam)))
+    return dX, dU, dLam, ok
+
+
 def riccati_sweep_pscan(A, B, G, M, m_x, m_u, c, delta):
     """Drop-in replacement for ``riccati_sweep_ref`` (same contract) with
-    O(log H) sequential depth.  Single problem; vmap for batches."""
+    O(log H) sequential depth.  Single problem; vmap for batches.
+
+    ON TPU, stage sizes nx <= _TL_MAX dispatch to the TIME-LAST
+    implementation (:func:`_riccati_sweep_pscan_tl`): every tensor a
+    packed (rows, H) leaf — (B, rows, H) under vmap — so TPU tiling pads
+    nothing, vs the 32–64× minor-dim padding of the (…, H, nx, nx)
+    layout that made the matrix-last pscan 10–500× slower than the
+    streamed kernel and OOM at fleet×long-H (VERDICT r3 #4; measured
+    round 4: TL is 5× FASTER than the streamed kernel at B=8 H=512 and
+    compiles/runs the B=1024×H=1024 round-3 OOM shape —
+    tools/bench_horizon_tpu.log).  On CPU the matrix-last form stays:
+    there is no tiling to pad, and the TL form's huge unrolled
+    associative-scan programs compile pathologically slowly on the XLA
+    CPU backend (minutes per shape)."""
+    nx = c.shape[1]
+    dev = jax.config.jax_default_device
+    plat = dev if isinstance(dev, str) else getattr(dev, "platform", None)
+    on_tpu = (jax.default_backend() == "tpu" and plat in (None, "tpu"))
+    if nx <= _TL_MAX and B.shape[2] <= _TL_MAX and on_tpu:
+        return _riccati_sweep_pscan_tl(A, B, G, M, m_x, m_u, c, delta)
+    return _riccati_sweep_pscan_ml(A, B, G, M, m_x, m_u, c, delta)
+
+
+def _riccati_sweep_pscan_ml(A, B, G, M, m_x, m_u, c, delta):
+    """Matrix-last (legacy layout) pscan — the nx > _TL_MAX path."""
     H, nx = c.shape
     nu = B.shape[2]
     dtype = A.dtype

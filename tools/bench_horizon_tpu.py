@@ -19,12 +19,16 @@ TPU tunnel cannot resolve credibly (single-shot timings vary 3×,
 CLAUDE.md), so this harness times the FULL solver (NMPC warm re-plans,
 pipelined) where per-step costs are 10⁺ ms.
 
-Measured limitation worth knowing (reproduced 2026-08-20): the pscan
-sweep at B=1024, H=1024, nx=4 does not even compile on v5e — its
-(B, H, nx, nx) element tensors tile as T(4,128) with a 32× padding
-expansion, and the compiler asks for 19.3 GB of HBM (15.75 available).
-Sequence parallelism is the FEW-long-problems tool; fleet batch belongs
-to the scenario axis.  Output committed as tools/bench_horizon_tpu.log.
+Round-3 limitation, FIXED in round 4: the matrix-last pscan at B=1024,
+H=1024, nx=4 could not even compile on v5e — its (B, H, nx, nx) element
+tensors tiled as T(4,128) with a 32× padding expansion and the compiler
+asked for 19.3 GB of HBM (15.75 available).  The time-last relayout
+(solve/pscan.py, nx <= 4: packed (B, rows, H) elements) removes the
+padding; ``pscan_fleet_oom_check`` compiles and runs that exact shape,
+and the end-to-end table shows the TL pscan matching or beating the
+streamed Pallas kernel at long H (it is the few-long-problems tool; the
+kernel remains the fleet-batch default).  Output committed as
+tools/bench_horizon_tpu.log.
 """
 
 import os
@@ -80,11 +84,55 @@ def measure(mpc, B, steps=16):
             int(res.converged.sum()))
 
 
+def pscan_fleet_oom_check(B=1024, H=1024, nx=4, nu=2):
+    """The round-3 blocker: matrix-last pscan at B=1024×H=1024 could not
+    even compile (19.3 GB HBM demanded of 15.75 — compiler dump).  The
+    round-4 time-last relayout packs elements as (B, rows, H) leaves, so
+    tiling pads ~nothing; this check compiles AND runs the bare sweep at
+    that exact shape."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from pyneuralempc_tpu.solve.pscan import riccati_sweep_pscan
+
+    rng = np.random.default_rng(0)
+    ns = nx + nu
+    A = jnp.asarray(np.eye(nx) + 0.02 * rng.normal(0, 0.5, (B, H, nx, nx)),
+                    jnp.float32)
+    Bm = jnp.asarray(0.02 * rng.normal(0, 1, (B, H, nx, nu)), jnp.float32)
+    G = np.asarray(rng.normal(0, 0.02, (B, H, ns, ns)), np.float32)
+    G = jnp.asarray(0.5 * (G + G.transpose(0, 1, 3, 2)))
+    M = np.asarray(rng.normal(0, 0.05, (B, H, ns, ns)), np.float32)
+    M = jnp.asarray(0.5 * (M + M.transpose(0, 1, 3, 2))
+                    + np.eye(ns, dtype=np.float32))
+    mx = jnp.asarray(rng.normal(0, 1, (B, H, nx)), jnp.float32)
+    mu_ = jnp.asarray(rng.normal(0, 1, (B, H, nu)), jnp.float32)
+    c = jnp.asarray(rng.normal(0, 0.05, (B, H, nx)), jnp.float32)
+    delta = jnp.zeros((B,), jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        fn = jax.jit(jax.vmap(riccati_sweep_pscan))
+        t0 = time.perf_counter()
+        out = fn(A, Bm, G, M, mx, mu_, c, delta)
+        jax.block_until_ready(out[0])
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fn(A, Bm, G, M, mx, mu_, c, delta)
+        jax.block_until_ready(out[0])
+        t_run = time.perf_counter() - t0
+    ok = bool(jnp.all(out[3]))
+    print(f"pscan(time-last) B={B} H={H} nx={nx} nu={nu}: "
+          f"compile+run {t_first:.1f}s, steady run {t_run*1e3:.2f}ms, "
+          f"ok={ok} (round-3 matrix-last: 19.3 GB HBM compile OOM)",
+          flush=True)
+
+
 def main():
     import jax
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     assert jax.default_backend() == "tpu"
+    pscan_fleet_oom_check()
     print("end-to-end warm re-plan ms/step (pipelined), LV exact "
           "dynamics, tol=1e-5", flush=True)
     print(f"{'B':>5} {'H':>5} {'pallas':>9} {'scan':>9} {'pscan':>9}",
