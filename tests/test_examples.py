@@ -7,6 +7,9 @@ import pytest
 
 REPO = __file__.rsplit("/", 2)[0]
 
+# full example subprocesses: minutes each (slow tier)
+pytestmark = pytest.mark.slow
+
 
 def run_example(name, *args, timeout=600):
     out = subprocess.run(

@@ -10,8 +10,9 @@ import pyneuralempc_tpu as nempc
 from pyneuralempc_tpu.models.rnn import fit_gru_on_sequences, gru_dynamics
 from pyneuralempc_tpu.parallel.sharding import ShardedNMPC, make_mesh
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 (virtual) devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 (virtual) devices"),
+              pytest.mark.slow]
 
 
 def test_gru_fleet_h100_sharded():

@@ -91,6 +91,7 @@ def test_resolve_hook_consistent():
     assert float(jnp.max(jnp.abs(dw_mod - dw))) > 1e-5  # rhs mattered
 
 
+@pytest.mark.slow
 def test_soc_rescues_curved_cold_start():
     """The quadrotor cold start that crawls without SOC converges with it
     (the member found stuck in round-1 diagnostics)."""
@@ -203,6 +204,7 @@ def test_adaptive_strategy_converges_and_matches_monotone():
         3 * int(results["monotone"].iterations) + 10
 
 
+@pytest.mark.slow
 def test_all_mu_strategies_on_batch():
     """All three μ strategies solve a small batch with per-problem masks."""
     def lv(x, u):

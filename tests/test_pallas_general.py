@@ -11,6 +11,7 @@ tiny because interpret mode runs tile ops one by one.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyneuralempc_tpu.ops.pallas.riccati_kernel import (
     _kernel_fits_general, riccati_sweep_general_pallas)
@@ -83,6 +84,7 @@ def test_general_kernel_multirhs_noeq():
     assert_matches(make_data(R=2, r=0, seed=1))
 
 
+@pytest.mark.slow
 def test_general_kernel_single_rhs_eq():
     """R=1, r=2 (r = nu): the pure stage-equality shape."""
     assert_matches(make_data(R=1, r=2, seed=2))

@@ -37,6 +37,7 @@ def test_kernel_matches_scan_interpret():
     assert bool(jnp.all(ref[3] == out[3]))
 
 
+@pytest.mark.slow
 def test_kernel_nx4_interpret():
     args = make_data(B=2, H=3, nx=4, nu=1, seed=1)
     ref = jax.vmap(riccati_sweep_ref)(*args)
@@ -66,6 +67,7 @@ def test_kernel_ok_flag_on_negative_curvature():
     assert not bool(out[3][1])
 
 
+@pytest.mark.slow
 def test_kernel_quadrotor_dims_interpret():
     """The streamed kernel at quadrotor stage dims (nx=12, nu=4) — the
     config the v1 whole-sweep-resident design could never dispatch.  H is
@@ -151,6 +153,7 @@ def test_custom_vmap_fallback_on_cpu():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_nu3_interpret():
     args = make_data(B=2, H=3, nx=3, nu=3, seed=2)
     ref = jax.vmap(riccati_sweep_ref)(*args)

@@ -84,6 +84,7 @@ def test_graft_entry_compiles():
     assert out[1].u.shape == (8, 10, 1)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -137,6 +137,7 @@ def test_mixed_stage_eq_ineq_and_border():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_border_batched_and_warm():
     """The general path vmaps and carries warm starts like the fast path."""
     tc = PathConstraint(fn=lambda x, u: jnp.sum(u, keepdims=True),

@@ -9,11 +9,13 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench_scaling import build_mpc, measure  # noqa: E402
 
 
+@pytest.mark.slow
 def test_measure_unsharded_and_8way():
     assert len(jax.devices()) >= 8   # conftest virtual mesh
     mpc = build_mpc(H=8)

@@ -48,6 +48,7 @@ def test_shapes_and_convergence():
     assert np.all(np.isfinite(np.asarray(out.x)))
 
 
+@pytest.mark.slow
 def test_matches_host_loop_per_member():
     """Member i of the batched loop must equal the single-plant host loop
     run from x0s[i] (same cadence, same warm-carry policy)."""
