@@ -67,6 +67,22 @@ class ShardedNMPC:
     ``mesh`` so B problems run B/n_devices-per-chip.  Model parameters and
     shared p/tvp stay replicated.
 
+    Two partitioning modes:
+
+    * ``independent=True`` (default, round 4): the WHOLE solve is wrapped
+      in ``shard_map`` — each shard traces its own solver, so the batched
+      while_loop's "any member still active" test reduces over the LOCAL
+      shard only.  Shards exit early INDEPENDENTLY: zero collectives of
+      any kind in the compiled program, and a shard whose members all
+      converge in 3 iterations is done in 3, regardless of a straggler
+      member on another chip.  (GSPMD mode keeps every shard in global
+      lockstep through a one-boolean all-reduce per iteration — measured
+      on the virtual mesh, that lockstep is the dominant partitioning
+      cost: eff(2) 0.61 GSPMD vs 0.9+ independent.)
+    * ``independent=False``: plain GSPMD annotation of the monolithic
+      program (the round-3 behaviour) — kept for comparison and for
+      cases that want one global convergence frontier.
+
     Usage::
 
         mesh = make_mesh()                      # all chips
@@ -74,10 +90,55 @@ class ShardedNMPC:
         carry, res = smpc.next_batch(x0s)       # x0s: (B, x_dim), B % n == 0
     """
 
-    def __init__(self, mpc, mesh: Mesh, axis_name: str = "scenario"):
+    def __init__(self, mpc, mesh: Mesh, axis_name: str = "scenario",
+                 independent: bool = True):
         self.mpc = mpc
         self.mesh = mesh
         self.axis_name = axis_name
+        self.independent = independent
+        self._shmap_cache = {}
+
+    def _shmap_step(self, warm: bool, lead, rt):
+        """shard_map-wrapped vmapped MPC step, jit-cached per input tree
+        structure (one compiled program; each shard runs its own
+        while_loop — independent early exit)."""
+        import jax
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        key = (warm, jax.tree_util.tree_structure((lead, rt)))
+        if key in self._shmap_cache:
+            return self._shmap_cache[key]
+
+        mpc = self.mpc
+        ax = self.axis_name
+        rt_axes = {"x0": 0, "p": None, "tvp": None, "params": None}
+
+        if warm:
+            vstep = jax.vmap(mpc._warm_step, in_axes=(0, rt_axes))
+        else:
+            def cold_step(x0, rt_):
+                c = mpc.cold_start(x0, p=rt_["p"], tvp=rt_["tvp"],
+                                   params=rt_["params"])
+                return mpc._step(c, rt_)
+            vstep = jax.vmap(cold_step, in_axes=(0, rt_axes))
+
+        def specs_like(tree, sharded):
+            return jax.tree_util.tree_map(
+                lambda _: P(ax) if sharded else P(), tree)
+
+        rt_specs = {"x0": P(ax), "p": specs_like(rt["p"], False),
+                    "tvp": specs_like(rt["tvp"], False),
+                    "params": specs_like(rt["params"], False)}
+        fn = jax.jit(shard_map(
+            vstep, mesh=self.mesh,
+            in_specs=(specs_like(lead, True), rt_specs),
+            out_specs=P(ax),
+            check_rep=False))
+        self._shmap_cache[key] = fn
+        return fn
 
     def next_batch(self, x0s, p=None, tvp=None, params=None, carry=None):
         n = self.mesh.devices.size
@@ -90,5 +151,12 @@ class ShardedNMPC:
         p = None if p is None else replicate(p, self.mesh)
         tvp = None if tvp is None else replicate(tvp, self.mesh)
         params = None if params is None else replicate(params, self.mesh)
+        if self.independent:
+            from ..core.problem import runtime
+            rt = runtime(x0s, p, tvp, params)
+            warm = carry is not None
+            lead = carry if warm else x0s
+            fn = self._shmap_step(warm, lead, rt)
+            return fn(lead, rt)
         return self.mpc.next_batch(x0s, p=p, tvp=tvp, params=params,
                                    carry=carry)

@@ -91,27 +91,46 @@ def test_graft_dryrun_multichip():
 
 
 def test_sharded_hot_path_has_no_data_collectives(mpc_and_params):
-    """Structural scaling guarantee (docs/SCALING.md): the scenario-sharded
-    warm step contains NO data collectives — the only cross-shard traffic
-    permitted is the batched while_loop's pred[] (one-boolean) all-reduce
-    termination test, which GSPMD must agree on across shards.  A data
-    collective appearing here means some op started mixing batch members
-    and multi-chip scaling would start paying bandwidth for it."""
+    """Structural scaling guarantee (docs/SCALING.md), both modes:
+
+    * independent (shard_map, the default): the compiled warm step must
+      contain NO collectives AT ALL — each shard runs its own while_loop
+      and exits on its own (zero cross-shard traffic, no lockstep).
+    * GSPMD (independent=False): no DATA collectives; the only cross-
+      shard traffic permitted is the batched while_loop's pred[]
+      (one-boolean) all-reduce termination test.
+    """
     import re
 
     from pyneuralempc_tpu.core.problem import runtime
+    from pyneuralempc_tpu.parallel.sharding import replicate
 
     mpc, params = mpc_and_params
     mesh = make_mesh(8)
-    smpc = ShardedNMPC(mpc, mesh)
     x0s = _x0s(16)
+
+    # ---- independent (shard_map) mode: zero collectives ----
+    smpc = ShardedNMPC(mpc, mesh)
     carry, res = smpc.next_batch(x0s, params=params)
-    smpc.next_batch(x0s, params=params, carry=carry)  # populate warm cache
+    assert bool(jnp.all(res.converged))
+    carry2, res2 = smpc.next_batch(x0s, params=params, carry=carry)
+    key = next(k for k in smpc._shmap_cache if k[0])
+    warm_fn = smpc._shmap_cache[key]
+    carry_s = shard_leading(carry, mesh)
+    rt = runtime(shard_leading(x0s, mesh), params=replicate(params, mesh))
+    hlo = warm_fn.lower(carry_s, rt).compile().as_text()
+    coll = re.findall(r"all-reduce|all-gather|collective-permute"
+                      r"|all-to-all|reduce-scatter", hlo)
+    assert not coll, f"collectives in the independent mode: {set(coll)}"
+
+    # ---- GSPMD mode: only the pred[] termination all-reduce ----
+    gmpc = ShardedNMPC(mpc, mesh, independent=False)
+    carry, res = gmpc.next_batch(x0s, params=params)
+    gmpc.next_batch(x0s, params=params, carry=carry)  # populate warm cache
     key = next(k for k in mpc._batch_cache if k[0])
     warm = mpc._batch_cache[key]
     carry_s = shard_leading(carry, mesh)
     x0_s = shard_leading(x0s, mesh)
-    from pyneuralempc_tpu.parallel.sharding import replicate
     rt = runtime(x0_s, params=replicate(params, mesh))
     hlo = warm.lower(carry_s, rt).compile().as_text()
     banned = re.findall(r"all-gather|collective-permute|all-to-all"
