@@ -50,6 +50,9 @@ def main():
     from pyneuralempc_tpu.models.train import fit_surrogate, sample_transitions
     from pyneuralempc_tpu.ops.integrators import step_fn
 
+    cache_dir = nempc.enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+
     B = int(os.environ.get("BENCH_BATCH", 4096))
     STEPS = int(os.environ.get("BENCH_STEPS", 8))
     H, DT = 20, 0.1

@@ -55,6 +55,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
     from pyneuralempc_tpu.ops.integrators import step_fn
 
     H, DT = 50, 0.05

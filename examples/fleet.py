@@ -41,6 +41,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
 
     H, DT, B = args.H, 0.02, args.batch
     truth = nempc.jax_dynamics(quad_f(), x_dim=12, u_dim=4)

@@ -39,6 +39,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
     from pyneuralempc_tpu.models.rnn import (fit_gru_on_sequences,
                                              gru_dynamics)
 

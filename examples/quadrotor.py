@@ -82,6 +82,7 @@ def main():
 
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
 
     H, DT = args.H, 0.02
     f_true = quad_f()

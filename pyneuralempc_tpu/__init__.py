@@ -44,6 +44,7 @@ from .models.rnn import (GRUDynamics, LSTMDynamics, gru_dynamics,
                          lstm_dynamics, fit_gru_on_sequences)
 from .utils.checkpoint import load_pytree, save_pytree
 from .utils.check import check_model, check_problem
+from .utils.compile_cache import enable_compilation_cache
 from .solve.interior_point import IPConfig, IPResult, make_solver
 from .solve.alm import ALMConfig, make_alm_solver
 from .solve.diff import make_differentiable_solver
@@ -64,7 +65,8 @@ __all__ = [
     "rolling_window", "load_keras_h5", "load_keras_lstm_h5",
     "load_keras_gru_h5", "load_keras_h5_rolling", "load_torch_mlp", "GRUDynamics", "LSTMDynamics", "gru_dynamics",
     "lstm_dynamics", "fit_gru_on_sequences", "save_pytree", "load_pytree",
-    "check_model", "check_problem", "IPConfig", "IPResult",
+    "check_model", "check_problem", "enable_compilation_cache",
+    "IPConfig", "IPResult",
     "make_solver", "ALMConfig", "make_alm_solver", "make_differentiable_solver",
     "NMPC", "NMPCResult",
     "WarmStart",

@@ -102,11 +102,23 @@ class ShardedNMPC:
         """shard_map-wrapped vmapped MPC step, jit-cached per input tree
         structure (one compiled program; each shard runs its own
         while_loop — independent early exit)."""
+        import inspect
+
         import jax
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+
+        # JAX >=0.9 renamed shard_map's replication-check kwarg
+        # check_rep -> check_vma; feature-detect so both stacks work.
+        _params = inspect.signature(shard_map).parameters
+        if "check_vma" in _params:
+            check_kw = {"check_vma": False}
+        elif "check_rep" in _params:
+            check_kw = {"check_rep": False}
+        else:
+            check_kw = {}
 
         key = (warm, jax.tree_util.tree_structure((lead, rt)))
         if key in self._shmap_cache:
@@ -136,7 +148,7 @@ class ShardedNMPC:
             vstep, mesh=self.mesh,
             in_specs=(specs_like(lead, True), rt_specs),
             out_specs=P(ax),
-            check_rep=False))
+            **check_kw))
         self._shmap_cache[key] = fn
         return fn
 

@@ -170,8 +170,9 @@ class IPConfig:
                                    # re-solve (see the polish block in
                                    # ``solve``); the bias drops
                                    # ~(μ_polish/μ_floor)×.
-    polish_mu: float = 1e-8   # matches the benchmarked configuration
-                               # ("5 cheap polish steps at μ=1e-8")
+    polish_mu: float = 1e-8   # default; bench.py runs μ=1e-9 (the r4
+                               # accuracy lever: 1e-8 leaves ~6.7e-5 of
+                               # barrier bias, tools/audit_reg.log)
     warm_z_corridor: float = 1e2   # warm-start bound-dual re-centering
                                # (Ipopt's warm_start_mult_* push): carried
                                # duals are clipped into

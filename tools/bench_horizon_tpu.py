@@ -43,6 +43,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def build_mpc(H, kkt):
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
 
     def f_true(x, u):
         xr = 30.0 * (x + 1.0)

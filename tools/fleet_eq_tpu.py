@@ -39,6 +39,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
     from quadrotor import F_HOVER, quad_f
 
     print(f"backend={jax.default_backend()} devices={jax.devices()} "
