@@ -62,9 +62,13 @@ def build_mpc(H=20, DT=0.1, tol=1e-5):
                       config=nempc.IPConfig(tol=tol))
 
 
-def measure(mpc, B, steps, n_devices=None):
+def measure(mpc, B, steps, n_devices=None, independent=True):
     """Steady-state warm re-plan seconds/step for batch B, optionally
-    scenario-sharded over n_devices.  Returns (sec_per_step, n_converged)."""
+    scenario-sharded over n_devices.  Returns (sec_per_step, n_converged).
+
+    ``independent`` selects ShardedNMPC's partitioning mode: per-shard
+    shard_map solvers with independent early exit (default) vs plain
+    GSPMD lockstep — the comparison behind sharding.py's mode choice."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,7 +79,8 @@ def measure(mpc, B, steps, n_devices=None):
                                 rng.uniform(-0.9, -0.3, B)], axis=1),
                       jnp.float32)
     runner = (mpc if n_devices is None
-              else ShardedNMPC(mpc, make_mesh(n_devices)))
+              else ShardedNMPC(mpc, make_mesh(n_devices),
+                               independent=independent))
     carry, res = runner.next_batch(x0s)
     jax.block_until_ready(carry.w)
     # warm-path compile + pipeline ramp, untimed
@@ -240,6 +245,18 @@ def main():
         log(f"sharded n={n:2d}   : {t_n*1e3:8.1f} ms/step  "
             f"{B/t_n:10.0f} solves/s  eff={eff:.3f}  conv {conv}/{B}")
 
+    # ShardedNMPC mode comparison at n=2 (the sharding.py docstring's
+    # independent-vs-GSPMD claim, re-measured on the current stack)
+    t_ind, _ = measure(mpc, B, args.steps, n_devices=2, independent=True)
+    t_gsp, _ = measure(mpc, B, args.steps, n_devices=2, independent=False)
+    modes = {"independent_ms": round(t_ind * 1e3, 1),
+             "gspmd_ms": round(t_gsp * 1e3, 1),
+             "independent_eff": round(t_ref / t_ind, 3),
+             "gspmd_eff": round(t_ref / t_gsp, 3)}
+    log(f"ShardedNMPC n=2 modes: independent {t_ind*1e3:.1f} ms "
+        f"(eff {t_ref/t_ind:.3f})  gspmd {t_gsp*1e3:.1f} ms "
+        f"(eff {t_ref/t_gsp:.3f})")
+
     hrows = {}
     if args.horizon_axis:
         # Horizon (sequence-parallel) axis: same problem, same batch,
@@ -278,6 +295,7 @@ def main():
         "vs_baseline": round(eff2 / 0.8, 3),
         "detail_pipelined": prows,
         "detail_dispatched": rows,
+        "sharded_nmpc_modes_2way": modes,
     }
     if hrows:
         out["horizon_axis"] = hrows

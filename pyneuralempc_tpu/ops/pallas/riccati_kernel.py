@@ -48,6 +48,7 @@ TPU and (b) the per-stage working set fits VMEM — else the vmapped scan.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,11 +75,35 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _LOCAL_DELTAS = (0.0, 1e-6, 1e-4)
 
 
+def _ntri(ns: int) -> int:
+    """Tiles for a symmetric ns×ns stage matrix streamed as its packed
+    upper triangle (round 5: G and M are Hessians — streaming triangles
+    cuts the dominant 2·ns² per-stage block by ~2×, which is what lets
+    nu=10/nx=12 overactuated fleets fit the streamed VMEM budget)."""
+    return ns * (ns + 1) // 2
+
+
+def _sym_pack(X):
+    """(..., n, n) symmetric matrix -> (..., n(n+1)/2) packed upper
+    triangle (row-major), the kernel-side layout read by ``_tri``."""
+    n = X.shape[-1]
+    iu = np.triu_indices(n)
+    return X[..., iu[0], iu[1]]
+
+
+def _tri(i: int, j: int, ns: int) -> int:
+    """Row offset of symmetric element (i, j) in the packed upper
+    triangle (static Python arithmetic — resolved at trace time)."""
+    if i > j:
+        i, j = j, i
+    return i * ns - i * (i - 1) // 2 + (j - i)
+
+
 def _kernel_fits(H: int, nx: int, nu: int) -> bool:
     """Streamed per-stage VMEM footprint (double-buffered in/out blocks +
     persistent carry scratch), independent of H."""
     ns = nx + nu
-    bwd_in = nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu + 1
+    bwd_in = nx * nx + nx * nu + 2 * _ntri(ns) + 2 * nx + nu + 1
     bwd_out = nu * nx + nu + nx * nx + nx + nx * nu + 1
     bwd_scr = nx * nx + nx + 1
     fwd_in = nx * nx + nx * nu + nx + nu * nx + nu + nx * nx + nx + nx * nu
@@ -86,15 +111,16 @@ def _kernel_fits(H: int, nx: int, nu: int) -> bool:
     fwd_scr = nx
     tiles = max(2 * (bwd_in + bwd_out) + bwd_scr,
                 2 * (fwd_in + fwd_out) + fwd_scr)
-    # chol unroll is O(nu³) straight-line code per retry level; cap nu to
-    # keep compile times sane (nu=8 → ~2k statements)
-    return nu <= 8 and tiles * 4096 < _VMEM_BUDGET
+    # chol unroll is O(nu³) straight-line code; cap nu to keep compile
+    # times sane.  Round 5: factor-blend retry (substitute once, not per
+    # δ level) moved the cap 8 → 16; VMEM decides within that.
+    return nu <= 16 and tiles * 4096 < _VMEM_BUDGET
 
 
-def _chol_solve_tiles(Q, rhss, zero):
-    """Unrolled tile-wise Cholesky of the nu×nu matrix-of-tiles Q and
-    forward/back substitution for each rhs (list of nu-tile lists).
-    Returns (solutions, ok_mask)."""
+def _chol_factor_tiles(Q, zero):
+    """Unrolled tile-wise Cholesky factorization of the nu×nu
+    matrix-of-tiles Q.  Returns (L, inv_d, ok_mask); failed lanes carry a
+    finite placeholder factor (guarded pivot) and ok=0."""
     nu = len(Q)
     L = [[zero for _ in range(nu)] for _ in range(nu)]
     inv_d = [zero] * nu
@@ -108,6 +134,13 @@ def _chol_solve_tiles(Q, rhss, zero):
         for j in range(i + 1, nu):
             L[j][i] = (Q[j][i] - sum(L[j][q] * L[i][q]
                                      for q in range(i))) * inv_d[i]
+    return L, inv_d, okm
+
+
+def _chol_sub_tiles(L, inv_d, rhss, zero):
+    """Forward/back substitution with a tile factor for each rhs (list of
+    nu-tile lists)."""
+    nu = len(L)
     sols = []
     for rhs in rhss:
         y = [zero] * nu
@@ -119,29 +152,40 @@ def _chol_solve_tiles(Q, rhss, zero):
             x[i] = (y[i] - sum(L[q][i] * x[q]
                                for q in range(i + 1, nu))) * inv_d[i]
         sols.append(x)
-    return sols, okm
+    return sols
 
 
 def _chol_solve_retry(Q, rhss, zero):
     """Per-lane δ-retry Cholesky: lanes whose pivot chain fails are
-    recomputed with the next local bump on Quu's diagonal; healthy lanes
-    keep their δ=0 result.  Returns (solutions, ok_mask) where ok_mask=0
-    only if even the largest bump failed."""
+    refactored with the next local bump on Quu's diagonal; healthy lanes
+    keep their δ=0 factor.  Returns (solutions, ok_mask) where ok_mask=0
+    only if even the largest bump failed.
+
+    Every tile op is lane-elementwise, so the retry blends the FACTOR
+    (L, 1/diag) per lane across δ levels and substitutes ONCE — identical
+    solutions to the naive solve-per-level-and-select, at 3× fewer
+    substitution statements (round 5: this is what makes nu>8 compile-time
+    affordable; substitutions dominate at (n_rhs)·nu² vs nu³/6 factor
+    terms when n_rhs > nu/2, e.g. every multi-rhs general sweep)."""
     nu = len(Q)
-    sols_acc, ok_acc = None, jnp.zeros_like(zero)
+    L_acc, inv_acc, ok_acc = None, None, jnp.zeros_like(zero)
     for d in _LOCAL_DELTAS:
         Qd = [[Q[i][j] + (d if i == j else zero) for j in range(nu)]
               for i in range(nu)]
-        sols, okm = _chol_solve_tiles(Qd, rhss, zero)
-        if sols_acc is None:
-            sols_acc, ok_acc = sols, okm
+        L, inv_d, okm = _chol_factor_tiles(Qd, zero)
+        if L_acc is None:
+            L_acc, inv_acc, ok_acc = L, inv_d, okm
         else:
             newly = okm * (1.0 - ok_acc)
-            sols_acc = [[jnp.where(newly > 0.5, s_new, s_old)
-                         for s_new, s_old in zip(rn, ro)]
-                        for rn, ro in zip(sols, sols_acc)]
+
+            def sel(new, old, _n=newly):
+                return jnp.where(_n > 0.5, new, old)
+
+            L_acc = [[sel(L[i][j], L_acc[i][j]) if j <= i else zero
+                      for j in range(nu)] for i in range(nu)]
+            inv_acc = [sel(inv_d[i], inv_acc[i]) for i in range(nu)]
             ok_acc = jnp.maximum(ok_acc, okm)
-    return sols_acc, ok_acc
+    return _chol_sub_tiles(L_acc, inv_acc, rhss, zero), ok_acc
 
 
 def _backward_kernel(CH, nx, nu, n_chunks, fused, A_ref, B_ref, G_ref,
@@ -180,11 +224,11 @@ def _backward_kernel(CH, nx, nu, n_chunks, fused, A_ref, B_ref, G_ref,
         def b_(i, al, _o=lt * nx * nu):
             return B_ref[_o + i * nu + al, 0]
 
-        def g_(i, j, _o=lt * ns * ns):
-            return G_ref[_o + i * ns + j, 0]
+        def g_(i, j, _o=lt * _ntri(ns)):       # packed symmetric triangle
+            return G_ref[_o + _tri(i, j, ns), 0]
 
-        def m_(i, j, _o=lt * ns * ns):
-            return M_ref[_o + i * ns + j, 0]
+        def m_(i, j, _o=lt * _ntri(ns)):
+            return M_ref[_o + _tri(i, j, ns), 0]
 
         def c_(i, _o=lt * nx):
             return c_ref[_o + i, 0]
@@ -314,7 +358,7 @@ def _fused_fits(H: int, nx: int, nu: int) -> bool:
     differ, so the fused path needs its own check or it can OOM at
     compile time near the boundary)."""
     ns = nx + nu
-    ins = H * (nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu) + 1
+    ins = H * (nx * nx + nx * nu + 2 * _ntri(ns) + 2 * nx + nu) + 1
     outs = H * (2 * nx + nu) + 1
     gains = H * (nu * nx + nu + nx * nx + nx + nx * nu)
     carry = nx * nx + 2 * nx + 1
@@ -327,8 +371,8 @@ def _pick_chunk(H: int, nx: int, nu: int) -> int:
     resident for LV-size problems), down to 1 (fully streamed) for big
     stage dims like the quadrotor.  Must divide H."""
     ns = nx + nu
-    per_stage = (nx * nx + nx * nu + 2 * ns * ns + 2 * nx + nu   # inputs
-                 + nu * nx + nu + nx * nx + nx + nx * nu)        # outputs
+    per_stage = (nx * nx + nx * nu + 2 * _ntri(ns) + 2 * nx + nu  # inputs
+                 + nu * nx + nu + nx * nx + nx + nx * nu)         # outputs
     budget_tiles = _VMEM_BUDGET // 4096 - 2 * (nx * nx + nx + 1)
     ch_max = max(1, budget_tiles // (2 * per_stage))
     ch = min(H, ch_max)
@@ -342,12 +386,13 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
                          interpret=False):
     B = A.shape[0]
     ns = nx + nu
+    nt = _ntri(ns)
     Gt = B // _TILE
     CH = _pick_chunk(H, nx, nu)
     n_chunks = H // CH
 
-    ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(G, B),
-           _to_tiles(M, B), _to_tiles(mx, B), _to_tiles(mu_, B),
+    ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(_sym_pack(G), B),
+           _to_tiles(_sym_pack(M), B), _to_tiles(mx, B), _to_tiles(mu_, B),
            _to_tiles(c, B), _to_tiles(delta, B)]
 
     def chunk_spec(rows, reverse):
@@ -401,7 +446,7 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
             fused_kernel,
             grid=(Gt,),
             in_specs=[gspec(H * nx * nx), gspec(H * nx * nu),
-                      gspec(H * ns * ns), gspec(H * ns * ns),
+                      gspec(H * nt), gspec(H * nt),
                       gspec(H * nx), gspec(H * nu), gspec(H * nx),
                       gspec(1)],
             out_specs=[gspec(H * nx), gspec(H * nu), gspec(H * nx),
@@ -424,7 +469,7 @@ def _riccati_pallas_call(A, B_, G, M, mx, mu_, c, delta, H, nx, nu,
         functools.partial(_backward_kernel, CH, nx, nu, n_chunks, False),
         grid=(Gt, n_chunks),
         in_specs=[chunk_spec(nx * nx, True), chunk_spec(nx * nu, True),
-                  chunk_spec(ns * ns, True), chunk_spec(ns * ns, True),
+                  chunk_spec(nt, True), chunk_spec(nt, True),
                   chunk_spec(nx, True), chunk_spec(nu, True),
                   chunk_spec(nx, True), const_spec(1)],
         out_specs=[chunk_spec(nu * nx, True), chunk_spec(nu, True),
@@ -513,7 +558,7 @@ def _kernel_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
     axis R multiplies every linear-term tile; EQ rows r add the E/F/Jx
     blocks and the Knu/knu gain streams."""
     ns = nx + nu
-    bwd_in = (nx * nx + nx * nu + 2 * ns * ns + R * (2 * nx + nu + r)
+    bwd_in = (nx * nx + nx * nu + 2 * _ntri(ns) + R * (2 * nx + nu + r)
               + r * (nx + nu))
     bwd_out = (nu * nx + R * nu + nx * nx + R * nx + nx * nu
                + r * nx + R * r + 1)
@@ -525,10 +570,11 @@ def _kernel_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
     tiles = max(2 * (bwd_in + bwd_out) + bwd_scr,
                 2 * (fwd_in + fwd_out) + fwd_scr) + 4
     # same nu cap as the plain kernel (chol unroll is O(nu³) straight-line
-    # per retry level); r <= nu is the eligibility contract; R capped to
-    # keep the per-stage statement count (O((nx+R+r)·nu²) substitutions
-    # per retry level, R·nx² rhs propagation) compile-time sane
-    return (nu <= 8 and r <= nu and R <= 33
+    # code; round 5's factor-blend retry substitutes ONCE across δ levels,
+    # moving the cap 8 → 16); r <= nu is the eligibility contract; R
+    # capped to keep the per-stage statement count (O((nx+R+r)·nu²)
+    # substitutions, R·nx² rhs propagation) compile-time sane
+    return (nu <= 16 and r <= nu and R <= 33
             and tiles * 4096 < _VMEM_BUDGET)
 
 
@@ -537,7 +583,7 @@ def _fused_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
     budget in _pick_chunk_general (double-buffered backward blocks), the
     fused kernel ALSO keeps the forward outputs (dX/dU/dLam/dNu,
     H·R·(2nx+nu+r) tiles) and Jx resident (ADVICE r3)."""
-    ins = (H * (nx * nx + nx * nu + 2 * (nx + nu) ** 2
+    ins = (H * (nx * nx + nx * nu + 2 * _ntri(nx + nu)
                 + R * (2 * nx + nu + r) + r * (nx + nu)) + 2
            + (H * r * nx if r > 0 else 0))                    # + Jx
     outs = H * R * (2 * nx + nu + r) + 1
@@ -549,7 +595,7 @@ def _fused_fits_general(H: int, nx: int, nu: int, R: int, r: int) -> bool:
 
 def _pick_chunk_general(H: int, nx: int, nu: int, R: int, r: int) -> int:
     ns = nx + nu
-    per_stage = (nx * nx + nx * nu + 2 * ns * ns + R * (2 * nx + nu + r)
+    per_stage = (nx * nx + nx * nu + 2 * _ntri(ns) + R * (2 * nx + nu + r)
                  + r * (nx + nu)                                 # inputs
                  + nu * nx + R * nu + nx * nx + R * nx + nx * nu
                  + r * nx + R * r)                               # outputs
@@ -603,11 +649,11 @@ def _bwd_general_body(CH, nx, nu, R, r, n_chunks, refs):
         def b_(i, al, _o=lt * nx * nu):
             return B_ref[_o + i * nu + al, 0]
 
-        def g_(i, j, _o=lt * ns * ns):
-            return G_ref[_o + i * ns + j, 0]
+        def g_(i, j, _o=lt * _ntri(ns)):       # packed symmetric triangle
+            return G_ref[_o + _tri(i, j, ns), 0]
 
-        def m_(i, j, _o=lt * ns * ns):
-            return M_ref[_o + i * ns + j, 0]
+        def m_(i, j, _o=lt * _ntri(ns)):
+            return M_ref[_o + _tri(i, j, ns), 0]
 
         def c_(ri, i, _o=lt * R * nx):
             return c_ref[_o + ri * nx + i, 0]
@@ -811,13 +857,14 @@ def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
     one contiguous block; outputs come back stage-major too."""
     B = A.shape[0]
     ns = nx + nu
+    nt = _ntri(ns)
     Gt = B // _TILE
     CH = _pick_chunk_general(H, nx, nu, R, r)
     n_chunks = H // CH
     f32 = jnp.float32
 
-    ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(G, B),
-           _to_tiles(M, B), _to_tiles(mx, B), _to_tiles(mu_, B),
+    ins = [_to_tiles(A, B), _to_tiles(B_, B), _to_tiles(_sym_pack(G), B),
+           _to_tiles(_sym_pack(M), B), _to_tiles(mx, B), _to_tiles(mu_, B),
            _to_tiles(c, B)]
     if r > 0:
         ins += [_to_tiles(h, B), _to_tiles(E, B), _to_tiles(F, B)]
@@ -882,7 +929,7 @@ def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
 
         fused_ins = ins + ([_to_tiles(Jx, B)] if r > 0 else [])
         in_specs = ([gspec(H * nx * nx), gspec(H * nx * nu),
-                     gspec(H * ns * ns), gspec(H * ns * ns),
+                     gspec(H * nt), gspec(H * nt),
                      gspec(H * R * nx), gspec(H * R * nu),
                      gspec(H * R * nx)]
                     + ([gspec(H * R * r), gspec(H * r * nu),
@@ -923,7 +970,7 @@ def _riccati_general_pallas_call(A, B_, G, M, mx, mu_, c, delta, dc,
         return dX, dU, dLam, dNu, ok
 
     bwd_in_specs = [chunk_spec(nx * nx, True), chunk_spec(nx * nu, True),
-                    chunk_spec(ns * ns, True), chunk_spec(ns * ns, True),
+                    chunk_spec(nt, True), chunk_spec(nt, True),
                     chunk_spec(R * nx, True), chunk_spec(R * nu, True),
                     chunk_spec(R * nx, True)]
     if r > 0:
@@ -1103,7 +1150,7 @@ def _riccati_general_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_,
 
 # ---- out-of-envelope fallback: chunked scan dispatch ----
 #
-# Shapes outside the kernel envelope (nu > 8, r > nu, R > 33, VMEM
+# Shapes outside the kernel envelope (nu > 16, r > nu, R > 33, VMEM
 # overflow) used to fall to a MONOLITHIC vmapped XLA scan, which faults
 # the TPU at fleet batch sizes (fleet_tpu6_noker.log: B=4096, H=50,
 # nx=12 — runtime device fault).  The fallback now chunks the batch:
@@ -1159,7 +1206,12 @@ def kernel_plan(H: int, nx: int, nu: int, R: int = 1, r: int = 0,
     general = (R, r) != (1, 0)
     fits = (_kernel_fits_general(H, nx, nu, R, r) if general
             else _kernel_fits(H, nx, nu))
-    if _HAS_PALLAS and fits and on_tpu:
+    # NEMPC_DISABLE_PALLAS=1 forces the scan path, so the plan must say so:
+    # the controller host-chunks fleets based on this plan, and a
+    # kernel-eligible fleet with the kernel disabled would otherwise skip
+    # host chunking and hit the device-side fault (ADVICE r4).
+    pallas_off = os.environ.get("NEMPC_DISABLE_PALLAS") == "1"
+    if _HAS_PALLAS and fits and on_tpu and not pallas_off:
         if general:
             ch = _pick_chunk_general(H, nx, nu, R, r)
             fused = ch == H and _fused_fits_general(H, nx, nu, R, r)
@@ -1171,8 +1223,10 @@ def kernel_plan(H: int, nx: int, nu: int, R: int = 1, r: int = 0,
                            f"streamed at {ch} stage(s) per grid step"),
                 "chunk": None}
     reasons = []
-    if nu > 8:
-        reasons.append(f"nu={nu} > 8 (per-lane Cholesky unroll cap)")
+    if pallas_off:
+        reasons.append("NEMPC_DISABLE_PALLAS=1")
+    if nu > 16:
+        reasons.append(f"nu={nu} > 16 (per-lane Cholesky unroll cap)")
     if general and r > nu:
         reasons.append(f"r={r} stage-EQ rows > nu={nu}")
     if general and R > 33:
@@ -1248,11 +1302,13 @@ def _riccati_vmap_rule(axis_size, in_batched, A, B_, G, M, mx, mu_, c,
     if use_pallas:
         out = riccati_sweep_pallas(*args, delta_b)
     elif on_tpu and axis_size > _scan_chunk():
-        # out-of-envelope fleet: chunked scan dispatch (the monolithic
-        # vmapped scan faults the TPU at this batch size).  Applies with
-        # NEMPC_DISABLE_PALLAS=1 too — that is exactly when a fleet
-        # would otherwise hit the fault.  NEMPC_SCAN_CHUNK=<huge>
-        # restores the monolithic scan if ever needed.
+        # Best-effort device-side chunking for DIRECT (non-NMPC) callers
+        # of the sweep.  NOT a fleet-survival guarantee: the TPU budget is
+        # per-dispatch wall-clock, so lax.map over chunks inside one
+        # dispatch still faults at B>=2048 (CLAUDE.md r4 notes) — NMPC
+        # avoids this by HOST-chunking upstream when kernel_plan says
+        # scan_chunked (controller._auto_batch_chunk).
+        # NEMPC_SCAN_CHUNK=<huge> restores the monolithic scan if needed.
         _warn_out_of_envelope("plain", H, nx, nu, 1, 0, axis_size,
                               _scan_chunk())
         out = _chunked_scan_vmap(_ref_sweep, (*args, delta_b), axis_size)

@@ -109,7 +109,8 @@ def test_general_fits_predicate():
     assert _kernel_fits_general(20, 2, 1, 9, 0)     # LV + 8 border rows
     assert _kernel_fits_general(50, 12, 4, 5, 0)    # quadrotor + 4 border
     assert not _kernel_fits_general(20, 2, 1, 40, 0)   # R cap
-    assert not _kernel_fits_general(20, 2, 9, 1, 0)    # nu cap
+    assert _kernel_fits_general(20, 2, 9, 1, 0)        # r5: nu cap now 16
+    assert not _kernel_fits_general(20, 2, 17, 1, 0)   # nu cap
     assert not _kernel_fits_general(50, 12, 4, 2, 5)   # r > nu
     assert not _kernel_fits_general(20, 64, 4, 1, 0)   # VMEM
 

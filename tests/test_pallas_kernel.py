@@ -139,7 +139,12 @@ def test_fits_predicate():
     assert _kernel_fits(50, 12, 4)         # quadrotor fleet (streamed v2 —
     #                                        the v1 resident design refused)
     assert _kernel_fits(500, 12, 4)        # per-stage footprint: H-free
-    assert not _kernel_fits(20, 2, 9)      # nu cap (chol unroll size)
+    assert _kernel_fits(50, 12, 10)        # r5: overactuated fleet rides
+    #                                        the kernel (triangle-streamed
+    #                                        G/M + factor-blend retry)
+    assert _kernel_fits(20, 2, 16)         # r5 cap edge for small nx
+    assert not _kernel_fits(20, 2, 17)     # nu cap (chol unroll size)
+    assert not _kernel_fits(50, 12, 16)    # VMEM decides inside the cap
     assert not _kernel_fits(20, 64, 4)     # stage blocks too big for VMEM
 
 
@@ -187,10 +192,23 @@ def test_kernel_plan_paths():
     from pyneuralempc_tpu.ops.pallas.riccati_kernel import kernel_plan
     assert kernel_plan(20, 2, 1)["path"] == "pallas_fused"
     assert kernel_plan(50, 12, 4)["path"] == "pallas_streamed"
-    p = kernel_plan(50, 12, 10, batch=4096)    # nu cap exceeded, fleet
+    # r5: nu=10 now rides the kernel; nu=17 is past the cap
+    assert kernel_plan(50, 12, 10, batch=4096)["path"] == "pallas_streamed"
+    p = kernel_plan(50, 12, 17, batch=4096)    # nu cap exceeded, fleet
     assert p["path"] == "scan_chunked" and p["chunk"] >= 1
-    assert "nu=10" in p["reason"]
-    assert kernel_plan(50, 12, 10, batch=64)["path"] == "scan"
+    assert "nu=17" in p["reason"]
+    assert kernel_plan(50, 12, 17, batch=64)["path"] == "scan"
+    # NEMPC_DISABLE_PALLAS must surface in the plan (ADVICE r4): a
+    # kernel-eligible fleet with the kernel disabled would otherwise skip
+    # host chunking and hit the device-side fault
+    import os
+    os.environ["NEMPC_DISABLE_PALLAS"] = "1"
+    try:
+        pd = kernel_plan(50, 12, 4, batch=4096)
+        assert pd["path"] == "scan_chunked"
+        assert "NEMPC_DISABLE_PALLAS" in pd["reason"]
+    finally:
+        del os.environ["NEMPC_DISABLE_PALLAS"]
     assert kernel_plan(20, 2, 1, on_tpu=False)["path"] == "scan"
     # general envelope: r > nu and R > 33 both name their cap
     assert "r=3" in kernel_plan(10, 4, 2, R=1, r=3)["reason"]

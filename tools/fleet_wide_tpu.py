@@ -1,16 +1,14 @@
 """Out-of-envelope fleet on real TPU (run manually:
 python tools/fleet_wide_tpu.py [--batch N] [--chunk C]).
 
-A 10-rotor overactuated multirotor: 12 states, nu=10 CONTROLS — outside
-the Pallas kernel envelope (per-lane Cholesky unroll caps at nu=8,
-ops/pallas/riccati_kernel.py:_kernel_fits).  Before round 4 this fleet
-DIED: dispatch fell to the monolithic vmapped XLA scan, which faults the
-TPU device at fleet batch sizes (fleet_tpu6_noker.log showed the same
-fault at nu=4 with the kernel disabled).  The chunked scan dispatch
-(riccati_kernel._chunked_scan_vmap, VERDICT r3 #1) splits the batch into
-NEMPC_SCAN_CHUNK-sized sub-batches under lax.map so the compiled scan
-stays at a survivable size: slower than the kernels, but the fleet
-SOLVES.
+A 10-rotor overactuated multirotor: 12 states, nu=10 CONTROLS.  History:
+before round 4 this fleet DIED (monolithic vmapped XLA scan faults the
+TPU at fleet batch); round 4 made it SOLVE via host-chunked scan dispatch
+(~109 solves/s).  Round 5 extends the streamed Pallas kernel envelope to
+nu<=16 (factor-blend δ-retry + symmetric-triangle streaming of G/M cut
+both the statement count and the dominant per-stage VMEM block), so this
+fleet now rides the kernel path (_kernel_fits: nu=10, nx=12 fits).  Use
+NEMPC_DISABLE_PALLAS=1 to re-measure the chunked-scan fallback.
 
 Output committed as tools/fleet_wide_tpu.log.
 """
@@ -93,6 +91,7 @@ def main():
     import jax
     import jax.numpy as jnp
     import pyneuralempc_tpu as nempc
+    nempc.enable_compilation_cache()
     from pyneuralempc_tpu.ops.pallas.riccati_kernel import kernel_plan
 
     H = 50
